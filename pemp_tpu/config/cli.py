@@ -1,0 +1,125 @@
+"""Command-line experiment runner.
+
+Preserves the reference's Sacred command surface
+(``python entry/<model>.py <command> with k=v ... [-u]``, README.md:93)
+with a small self-contained implementation:
+
+- commands: ``train`` / ``test`` / ``visualize`` (per entry) plus built-in
+  ``print_config`` and ``help``;
+- ``with a.b=v`` dotted overrides;
+- ``-u`` / ``--unobserved`` disables run recording (reference: Sacred
+  FileStorage observer, utils/misc.py:34-45);
+- observed runs get an auto-incrementing integer run id under
+  ``<g.model_dir>/<tag>/<id>/`` with the config snapshot saved as JSON.
+"""
+
+from __future__ import annotations
+
+import copy
+import json
+import sys
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional
+
+from pemp_tpu.config.base import apply_overrides, flatten_config, format_config
+
+
+class Run:
+    """A single experiment run: id, directory, scalar metric log.
+
+    Mirrors the slice of ``sacred.run.Run`` the reference uses
+    (``_run._id``, ``run.log_scalar``, core/base_trainer.py:303-308).
+    """
+
+    def __init__(self, run_id: Optional[int], run_dir: Optional[Path]):
+        self._id = run_id
+        self.run_dir = run_dir
+        self._scalars: Dict[str, List] = {}
+
+    def log_scalar(self, name: str, value: float, step: int) -> None:
+        self._scalars.setdefault(name, []).append([step, float(value)])
+        if self.run_dir is not None:
+            with open(self.run_dir / "metrics.json", "w") as f:
+                json.dump(self._scalars, f)
+
+
+def _next_run_id(tag_dir: Path) -> int:
+    existing = [int(p.name) for p in tag_dir.glob("*") if p.name.isdigit()]
+    return max(existing, default=0) + 1
+
+
+class Experiment:
+    """Experiment = named command registry + config assembly + run dirs."""
+
+    def __init__(self, name: str, config):
+        self.name = name
+        self.base_config = config
+        self.commands: Dict[str, Callable] = {}
+        self.command("print_config")(self._print_config)
+
+    def command(self, name: Optional[str] = None):
+        def wrap(fn: Callable) -> Callable:
+            self.commands[name or fn.__name__] = fn
+            return fn
+        if callable(name):
+            fn, name = name, name.__name__
+            return wrap(fn)
+        return wrap
+
+    # `ex.main` style alias so entries read naturally
+    main = command
+
+    def _print_config(self, cfg, run):
+        print(format_config(cfg))
+
+    def assemble(self, command: str, overrides: Dict[str, Any],
+                 observed: bool = True):
+        cfg = apply_overrides(copy.deepcopy(self.base_config), overrides)
+        # Config hook: require an explicit split for train/test
+        # (reference: utils/misc.py:48-53).
+        if command in ("train", "test") and cfg.split not in (0, 1, 2, 3):
+            raise ValueError(
+                f"'split' must be specified in [0, 1, 2, 3], got {cfg.split}")
+
+        run_id, run_dir = None, None
+        if observed and command in ("train", "test") and cfg.g.fileStorage:
+            tag_dir = Path(cfg.g.model_dir) / str(cfg.tag)
+            tag_dir.mkdir(parents=True, exist_ok=True)
+            run_id = _next_run_id(tag_dir)
+            run_dir = tag_dir / str(run_id)
+            run_dir.mkdir(parents=True, exist_ok=True)
+            with open(run_dir / "config.json", "w") as f:
+                json.dump({k: repr(v) for k, v in flatten_config(cfg).items()},
+                          f, indent=2)
+        return cfg, Run(run_id, run_dir)
+
+    def run_commandline(self, argv: Optional[List[str]] = None):
+        argv = list(sys.argv[1:] if argv is None else argv)
+        if not argv or argv[0] in ("help", "-h", "--help"):
+            print(f"usage: {self.name} <command> [with k=v ...] [-u]")
+            print("commands:", ", ".join(sorted(self.commands)))
+            return None
+
+        command = argv[0]
+        rest = argv[1:]
+        observed = True
+        overrides: Dict[str, Any] = {}
+        expect_with = True
+        for token in rest:
+            if token in ("-u", "--unobserved"):
+                observed = False
+            elif token == "with" and expect_with:
+                expect_with = False
+            elif "=" in token:
+                key, _, value = token.partition("=")
+                overrides[key] = value
+            else:
+                raise SystemExit(f"Unrecognized argument: {token}")
+
+        if command not in self.commands:
+            raise SystemExit(
+                f"Unknown command '{command}'. "
+                f"Available: {', '.join(sorted(self.commands))}")
+
+        cfg, run = self.assemble(command, overrides, observed=observed)
+        return self.commands[command](cfg, run)

@@ -1,0 +1,200 @@
+"""Shared Flax building blocks: torch-convention conv/pool/norm + heads.
+
+All modules are NHWC (TPU-native layout; XLA maps the convolutions onto the
+MXU directly). Numeric conventions mirror the reference backbones
+(reference: networks/backbones.py) so converted torchvision weights are
+drop-in:
+
+- convolutions use explicit symmetric padding (torch ``padding=p``),
+- max pooling pads with -inf (torch semantics),
+- BatchNorm: eps 1e-5, running stats updated with torch momentum 0.1
+  (flax momentum 0.9); "frozen BN" keeps using batch statistics in train
+  mode with non-trainable affine params — trainability is enforced by the
+  optimizer mask (pemp_tpu/core/solver.py), exactly like the reference's
+  ``requires_grad=False`` (backbones.py:56-62).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+from jax import lax
+
+from pemp_tpu.ops.dropblock import dropblock_2d
+
+Dtype = Any
+
+
+def kaiming_normal_relu():
+    """torch ``nn.init.kaiming_normal_(nonlinearity='relu')`` (fan_in)."""
+    return nn.initializers.variance_scaling(2.0, "fan_in", "normal")
+
+
+def torch_conv_default_init():
+    """torch Conv2d default: kaiming_uniform with a=sqrt(5) == uniform
+    variance scaling with gain 1/3 (fan_in)."""
+    return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
+
+
+class Conv(nn.Module):
+    """Conv2d with torch padding/dilation conventions, NHWC."""
+    features: int
+    kernel: Tuple[int, int] = (3, 3)
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    kernel_init: Callable = torch_conv_default_init()
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.padding
+        return nn.Conv(
+            self.features, self.kernel,
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=self.use_bias,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=self.kernel_init,
+        )(x)
+
+
+class BatchNorm(nn.Module):
+    """BatchNorm2d with torch defaults. ``train=True`` uses batch stats and
+    updates running stats (torch ``.train()``), ``train=False`` uses the
+    running stats."""
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, param_dtype=jnp.float32,
+        )(x)
+
+
+def max_pool_torch(x: jnp.ndarray, kernel: int, stride: int, padding: int,
+                   ceil_mode: bool = False) -> jnp.ndarray:
+    """torch MaxPool2d on NHWC input, including ``ceil_mode``."""
+    h, w = x.shape[-3], x.shape[-2]
+    pad_h = pad_w = (padding, padding)
+    if ceil_mode:
+        def extra(size):
+            rem = (size + 2 * padding - kernel) % stride
+            return (stride - rem) % stride if rem else 0
+        # torch ceil_mode only adds an output if the window starts inside
+        # the (left-padded) input; k=3,p=1 windows always do.
+        pad_h = (padding, padding + extra(h))
+        pad_w = (padding, padding + extra(w))
+    neg_inf = jnp.array(-jnp.inf, x.dtype)
+    return lax.reduce_window(
+        x, neg_inf, lax.max,
+        window_dimensions=(1, kernel, kernel, 1),
+        window_strides=(1, stride, stride, 1),
+        padding=((0, 0), pad_h, pad_w, (0, 0)),
+    )
+
+
+def avg_pool_full(x: jnp.ndarray) -> jnp.ndarray:
+    """Global average pool to [N, 1, 1, C] (adaptive_avg_pool2d(1))."""
+    return jnp.mean(x, axis=(-3, -2), keepdims=True)
+
+
+class Dropout2d(nn.Module):
+    """Channel dropout (torch nn.Dropout2d): whole feature maps zeroed."""
+    rate: float
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.Dropout(self.rate, broadcast_dims=(1, 2),
+                          deterministic=not train)(x)
+
+
+class DropBlock(nn.Module):
+    """DropBlock2D module wrapper over pemp_tpu.ops.dropblock."""
+    rate: float
+    block_size: int
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        if not train or self.rate == 0.0:
+            return x
+        return dropblock_2d(self.make_rng("dropout"), x,
+                            self.rate, self.block_size)
+
+
+class ASPP(nn.Module):
+    """Atrous spatial pyramid pooling head with channel dropout
+    (reference: networks/backbones.py:279-321)."""
+    inc: int = 256
+    midc: int = 256
+    outc: int = 512
+    drop_rate: float = 0.5
+    tail: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        h, w = x.shape[-3], x.shape[-2]
+        g = avg_pool_full(x)
+        g = Conv(self.midc, (1, 1), dtype=self.dtype, name="aspp_0")(g)
+        g = nn.relu(g)
+        g = Dropout2d(self.drop_rate, name="aspp_0_drop")(g, train)
+        g = jnp.broadcast_to(g, (*x.shape[:-3], h, w, self.midc))
+
+        branches = [g]
+        for i, (ksize, dil) in enumerate([((1, 1), 1), ((3, 3), 6),
+                                          ((3, 3), 12), ((3, 3), 18)], start=1):
+            pad = dil if ksize == (3, 3) else 0
+            b = Conv(self.midc, ksize, padding=pad, dilation=dil,
+                     dtype=self.dtype, name=f"aspp_{i}")(x)
+            b = nn.relu(b)
+            b = Dropout2d(self.drop_rate, name=f"aspp_{i}_drop")(b, train)
+            branches.append(b)
+        out = jnp.concatenate(branches, axis=-1)
+        if self.tail:
+            out = Conv(self.outc, (1, 1), dtype=self.dtype, name="layer6")(out)
+        return out
+
+
+class ASPPV2(nn.Module):
+    """ASPP variant with BatchNorm + DropBlock per branch
+    (reference: networks/backbones.py:324-369). These BNs are trainable
+    (only backbone BNs are frozen)."""
+    inc: int = 256
+    midc: int = 256
+    outc: int = 512
+    drop_rate: float = 0.1
+    block_size: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        h, w = x.shape[-3], x.shape[-2]
+
+        def branch(inp, ksize, dil, name):
+            b = BatchNorm(dtype=self.dtype, name=f"{name}_bn")(inp, train)
+            b = DropBlock(self.drop_rate, self.block_size,
+                          name=f"{name}_dropblock")(b, train)
+            pad = dil if ksize == (3, 3) else 0
+            b = Conv(self.midc, ksize, padding=pad, dilation=dil,
+                     dtype=self.dtype, name=f"{name}_conv")(b)
+            return nn.relu(b)
+
+        g = branch(avg_pool_full(x), (1, 1), 1, "aspp_0")
+        g = jnp.broadcast_to(g, (*x.shape[:-3], h, w, self.midc))
+        out = jnp.concatenate([
+            g,
+            branch(x, (1, 1), 1, "aspp_1"),
+            branch(x, (3, 3), 6, "aspp_2"),
+            branch(x, (3, 3), 12, "aspp_3"),
+            branch(x, (3, 3), 18, "aspp_4"),
+        ], axis=-1)
+        return Conv(self.outc, (1, 1), dtype=self.dtype, name="layer6")(out)

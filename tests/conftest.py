@@ -1,0 +1,10 @@
+"""Test env: force JAX onto CPU with 8 virtual devices so multi-chip
+sharding paths can be exercised without TPU hardware (SURVEY.md section 4)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,260 @@
+"""Training / evaluation loop drivers.
+
+Behavioral counterpart of reference ``core/base_trainer.py``:
+- ``Evaluator.start_eval_loop`` (:59-102): fix the test sampler once, run
+  ``te.epochs`` rounds of freshly drawn episode sets, accumulate
+  mIoU/bIoU/loss per round, report the 5-round mean and FPS,
+- ``Trainer.start_training_loop`` (:183-210): per-epoch task sampling,
+  train steps with per-step/per-epoch LR stepping (:217-234), periodic
+  ``ckpt`` snapshots, best-mIoU ``bestckpt`` tracking (:286-293), console +
+  run-scalar logging (:296-308).
+
+TPU-native differences:
+- the step functions are jitted closures supplied by the entry layer
+  (donated state, device-side loss); the loop never syncs per step — the
+  loss stays an async device value until the epoch summary,
+- the eval path keeps logits at feature resolution on device and does the
+  final variable-size ``align_corners`` resize + argmax + CE on host with
+  the exact-resize numpy twin (SURVEY.md section 7.3 "exact eval parity"),
+- checkpoints include optimizer state (resume support).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import numpy as np
+from flax import struct
+
+from pemp_tpu.core import checkpoint as ckpt_lib
+from pemp_tpu.core.metrics import Accumulator, FewShotMetric
+from pemp_tpu.ops.resize import resize_bilinear_align_corners_np
+from pemp_tpu.utils import loggers
+from pemp_tpu.utils.timer import Timer
+
+C = loggers.C
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def host_ce_loss(logits: np.ndarray, labels: np.ndarray) -> float:
+    """Mean CE with ignore 255, numpy (eval loss on variable-size GT)."""
+    logits = logits.astype(np.float64)
+    valid = labels != 255
+    if not valid.any():
+        return 0.0
+    safe = np.where(valid, labels, 0).astype(np.int64)
+    m = logits.max(axis=-1)
+    logz = m + np.log(np.exp(logits - m[..., None]).sum(axis=-1))
+    ll = np.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    return float(((logz - ll) * valid).sum() / valid.sum())
+
+
+class Evaluator:
+    """mode: EVAL_ONLINE (during training) or EVAL (final 5-round eval)."""
+
+    def __init__(self, cfg, eval_step: Callable, val_labels,
+                 mode: str = "EVAL", logger_name: Optional[str] = None):
+        if mode not in ("EVAL_ONLINE", "EVAL"):
+            raise ValueError(f"Not supported evaluation mode {mode}")
+        self.cfg = cfg
+        self.mode = mode
+        self.eval_step = eval_step
+        self.val_labels = list(val_labels)
+        self.logger = loggers.get_global_logger(logger_name)
+
+    @staticmethod
+    def fmt(array):
+        array = np.asarray(array)
+        if array.ndim == 0:
+            return f"{float(array):5.2f}"
+        return "[" + ", ".join(f"{x:5.2f}" for x in array) + "]"
+
+    def _episode_metrics(self, logits_feat, batch, fs_metric):
+        """Host tail: per-episode exact resize -> argmax -> loss/metrics.
+        logits_feat: [B, Q, h, w, 2] device array."""
+        logits_feat = np.asarray(jax.device_get(logits_feat), np.float32)
+        b = logits_feat.shape[0]
+        qry_msk = batch["qry_msk"]
+        losses = []
+        for i in range(b):
+            label = np.asarray(qry_msk[i] if isinstance(qry_msk, list)
+                               else qry_msk[i])
+            label = label.reshape(label.shape[-2:])      # [H', W'] (Q=1)
+            lg = resize_bilinear_align_corners_np(
+                logits_feat[i, 0], label.shape)          # [H', W', 2]
+            pred = lg.argmax(axis=-1).astype(np.uint8)
+            losses.append(host_ce_loss(lg, label))
+            fs_metric.update(pred[None], label[None], [batch["cls"][i]])
+        return float(np.mean(losses))
+
+    def start_eval_loop(self, dataset, loader, num_classes: int):
+        dataset.reset_sampler()
+        timer = Timer()
+        accum = Accumulator(loss=[], miou=[], biou=[])
+
+        for round_i in range(1, self.cfg.te.epochs + 1):
+            fs_metric = FewShotMetric(num_classes)
+            inner = Accumulator(loss=[])
+            dataset.sample_tasks()
+            for batch in loader:
+                with timer.start():
+                    logits = self.eval_step(batch)
+                    loss = self._episode_metrics(logits, batch, fs_metric)
+                inner.update(loss=loss)
+
+            miou, miou_mean = fs_metric.mIoU(self.val_labels)
+            biou, biou_mean = fs_metric.mIoU(self.val_labels, binary=True)
+            self.logger.info(
+                f"[round {round_i}/{self.cfg.te.epochs}] "
+                f"mIoU: {self.fmt(miou * 100)} -> {self.fmt(miou_mean * 100)}"
+                f"  |  bIoU: {self.fmt(biou * 100)} -> "
+                f"{self.fmt(biou_mean * 100)}")
+            accum.update(loss=inner.mean("loss"), miou=miou, biou=biou)
+
+        if self.mode == "EVAL":
+            miou_r, biou_r = accum.mean(["miou", "biou"], axis=0)
+            miou_avg, biou_avg = accum.mean(["miou", "biou"])
+            self.logger.info("-" * 21 + " Final Results " + "-" * 21)
+            self.logger.info(
+                f"| mIoU mean: {self.fmt(miou_r * 100)} ==> "
+                f"{self.fmt(miou_avg * 100)}")
+            self.logger.info(
+                f"| bIoU mean: {self.fmt(biou_r * 100)} ==> "
+                f"{self.fmt(biou_avg * 100)}")
+            self.logger.info(f"| speed: {timer.cps:5.2f} FPS")
+            self.logger.info("-" * 57)
+
+        return accum.mean(["loss", "miou", "biou"])
+
+
+class Trainer:
+    def __init__(self, cfg, run, state: TrainState, train_step: Callable,
+                 lr_policy, steps_per_epoch: int,
+                 logger_name: Optional[str] = None):
+        self.cfg = cfg
+        self.run = run
+        self.state = state
+        self.train_step = train_step
+        self.lr_policy = lr_policy
+        self.steps_per_epoch = steps_per_epoch
+        self.logger = loggers.get_global_logger(logger_name)
+
+        self.do_ckpt = run._id is not None
+        if self.do_ckpt:
+            self.model_dir = Path(cfg.g.model_dir) / str(cfg.tag) / str(run._id)
+        else:
+            self.model_dir = Path(cfg.g.model_dir) / "None"
+
+        self.best_iou = -1.0
+        self.best_epoch = -1
+        self._epoch_counter = 0
+        nd = len(str(cfg.tr.total_epochs))
+        self.template = (f"Epoch: {{:{nd}d}}/{{:{nd}d}}"
+                         " | LR: {:.2e} | Train {:7.5f} | Val {:7.5f}"
+                         " | mIoU {:5.2f} | bIoU {:5.2f} | Speed: {:.2f}it/s")
+
+    # --- snapshots ------------------------------------------------------
+    def _variables(self):
+        return {"params": self.state.params,
+                "batch_stats": self.state.batch_stats}
+
+    def try_snapshot(self, epoch=-1, final=False):
+        if final:
+            if not self.do_ckpt:
+                self.model_dir.mkdir(parents=True, exist_ok=True)
+                postfix = time.strftime("%y%m%d-%H%M%S")
+                path = self.model_dir / f"ckpt-{postfix}.msgpack"
+            else:
+                path = self.model_dir / "ckpt.msgpack"
+            ckpt_lib.save(path, self._variables(), self.state.opt_state, epoch)
+            self.logger.info(C.c(f" \\_/ Save checkpoint to {path}", C.OKGREEN))
+            return path
+        if self.do_ckpt and self.cfg.tr.ckpt_epoch > 0 \
+                and epoch % self.cfg.tr.ckpt_epoch == 0:
+            path = self.model_dir / "ckpt.msgpack"
+            ckpt_lib.save(path, self._variables(), self.state.opt_state, epoch)
+            return path
+
+    def maybe_resume(self) -> int:
+        """Resume from ``ckpt.msgpack`` in this run dir if present."""
+        path = self.model_dir / "ckpt.msgpack"
+        if not path.exists():
+            return 0
+        variables, opt_state, epoch = ckpt_lib.load(
+            path, self._variables(), self.state.opt_state)
+        self.state = self.state.replace(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=opt_state if opt_state is not None
+            else self.state.opt_state)
+        self.logger.info(f"Resumed from {path} at epoch {epoch}")
+        return epoch
+
+    # --- loop -----------------------------------------------------------
+    def start_training_loop(self, train_ds, train_loader, evaluator,
+                            val_ds, val_loader, num_classes):
+        timer = Timer()
+        if self.do_ckpt:
+            self.model_dir.mkdir(parents=True, exist_ok=True)
+
+        for epoch in range(1, self.cfg.tr.total_epochs + 1):
+            train_ds.sample_tasks()
+            losses = []
+            step_rng = jax.random.PRNGKey(self.cfg.seed + epoch)
+            for step_i, batch in enumerate(train_loader):
+                with timer.start():
+                    rng = jax.random.fold_in(step_rng, step_i)
+                    self.state, loss = self.train_step(
+                        self.state, batch, self.lr_policy.lr, rng)
+                    losses.append(loss)
+                self.step_lr()
+
+            train_loss = float(np.mean(jax.device_get(losses))) \
+                if losses else 0.0
+            self.try_snapshot(epoch)
+            mloss, miou, biou, best = self.evaluation(
+                epoch, evaluator, val_ds, val_loader, num_classes)
+            self.lr_policy.step_epoch(monitor_value=mloss)
+            self.log_result(epoch, train_loss, mloss, miou, biou, best,
+                            timer.cps)
+            timer.reset()
+
+        self.try_snapshot(final=True)
+
+    def step_lr(self):
+        self.lr_policy.step_step()
+
+    def evaluation(self, epoch, evaluator, val_ds, val_loader, num_classes):
+        mloss, miou, biou = evaluator.start_eval_loop(
+            val_ds, val_loader, num_classes)
+        miou = float(np.mean(miou))
+        biou = float(np.mean(biou))
+        best = False
+        if miou > self.best_iou:
+            self.best_iou, self.best_epoch = miou, epoch
+            if self.do_ckpt:
+                ckpt_lib.save(self.model_dir / "bestckpt.msgpack",
+                              self._variables(), self.state.opt_state, epoch)
+                best = True
+        return mloss, miou, biou, best
+
+    def log_result(self, epoch, train_loss, val_loss, val_miou, val_biou,
+                   best, speed, **extra):
+        msg = self.template.format(
+            epoch, self.cfg.tr.total_epochs, self.lr_policy.lr, train_loss,
+            val_loss, val_miou * 100, val_biou * 100, speed)
+        self.logger.info(C.c(msg + " (best)" * best, C.BOLD))
+        self.run.log_scalar("train_loss", train_loss, epoch)
+        self.run.log_scalar("val_loss", val_loss, epoch)
+        self.run.log_scalar("val_mIoU", val_miou, epoch)
+        self.run.log_scalar("val_bIoU", val_biou, epoch)
+        for k, v in extra.items():
+            self.run.log_scalar(k, float(v), epoch)

@@ -1,0 +1,95 @@
+"""Host-side episodic batch loader with background prefetch.
+
+Replaces the reference's forked ``torch.utils.data.DataLoader`` workers
+(reference data_kits/pascal_voc.py:507-520) with a thread-pool decode +
+bounded prefetch queue on the TPU-VM host. Batches are plain numpy dicts;
+the step functions move them to device (jit arguments), letting transfers
+overlap with compute via JAX's async dispatch.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+def _collate(episodes) -> Dict:
+    batch = {}
+    for key in episodes[0]:
+        vals = [ep[key] for ep in episodes]
+        if key in ("sup_names", "qry_names"):
+            batch[key] = vals
+        elif key == "cls":
+            batch[key] = np.asarray(vals, np.int32)
+        else:
+            try:
+                batch[key] = np.stack(vals)
+            except ValueError:
+                # variable-size (test-time query GT at original resolution)
+                batch[key] = vals
+    return batch
+
+
+class EpisodeLoader:
+    """Iterates batches over the dataset's pre-sampled tasks.
+
+    Each ``__iter__`` walks the current ``dataset.sampler.tasks`` in order
+    (the reference shuffles by sampling tasks randomly, so the task list
+    itself is already shuffled — DataLoader order adds nothing).
+    """
+
+    def __init__(self, dataset, batch_size: int, num_workers: int = 4,
+                 prefetch: int = 2, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.prefetch = max(1, prefetch)
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last \
+            else -(-n // self.batch_size)
+
+    def _batches(self):
+        n = len(self.dataset)
+        idx = list(range(n))
+        for start in range(0, n, self.batch_size):
+            chunk = idx[start:start + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield chunk
+
+    def __iter__(self) -> Iterator[Dict]:
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for chunk in self._batches():
+                        if stop.is_set():
+                            return
+                        eps = list(pool.map(self.dataset.get_episode, chunk))
+                        q.put(_collate(eps))
+            except BaseException as e:  # surface worker errors to consumer
+                q.put(e)
+                return
+            q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

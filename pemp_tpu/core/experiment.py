@@ -1,0 +1,192 @@
+"""Entry-layer runtime: wires a model into train/test commands.
+
+This is the glue the reference repeats across its 7 entry files
+(entry/baseline.py etc.): dataset loading, model construction, solver,
+trainer/evaluator, checkpoint discovery, and the train->auto-test chain
+(reference entry/baseline.py:65-107). Model-specific behavior (losses
+with auxiliaries, priors, history masks) is supplied through overridable
+hooks.
+"""
+
+from __future__ import annotations
+
+import sys
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pemp_tpu.core import losses as loss_lib
+from pemp_tpu.core import solver as solver_lib
+from pemp_tpu.core import checkpoint as ckpt_lib
+from pemp_tpu.core.trainer import Evaluator, Trainer, TrainState
+from pemp_tpu.data import datasets
+from pemp_tpu.models import registry
+from pemp_tpu.parallel import mesh as mesh_lib
+from pemp_tpu.parallel.step import device_batch, make_train_step
+from pemp_tpu.utils import loggers, misc
+
+INIT_HW = 33    # params are spatial-size independent; init on tiny maps
+
+
+class EntryRuntime:
+    """One experiment run of a given model family."""
+
+    name: str = "baseline"
+
+    def __init__(self, cfg, run):
+        self.cfg = cfg
+        self.run = run
+        self.logger = loggers.get_global_logger(self.name)
+        self.model, self.frozen_patterns = registry.build(self.name, cfg)
+        self.loss_obj = loss_lib.get(cfg)
+        self.mesh = (mesh_lib.data_mesh(cfg.tpu.mesh)
+                     if cfg.tpu.mesh > 1 else None)
+
+    # ---------------- hooks (override per model) -----------------------
+    def example_inputs(self, hw: int) -> Tuple:
+        """Positional model inputs for init (B=1, tiny spatial size)."""
+        s, q = self.cfg.shot, self.cfg.query
+        return (jnp.zeros((1, s, hw, hw, 3)),
+                jnp.zeros((1, s, hw, hw, 2)),
+                jnp.zeros((1, q, hw, hw, 3)))
+
+    def init_rngs(self) -> Dict:
+        return {"params": jax.random.PRNGKey(self.cfg.seed)}
+
+    def apply_train(self, variables, batch, rng):
+        """Forward in train mode. Returns (logits [B,Q,H,W,2], mutated,
+        aux_losses dict)."""
+        logits, mutated = self.model.apply(
+            variables, batch["sup_rgb"], batch["sup_mask"], batch["qry_rgb"],
+            out_hw=tuple(batch["qry_rgb"].shape[2:4]), train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        return logits, mutated, {}
+
+    def apply_eval(self, variables, batch):
+        """Forward in eval mode at FEATURE resolution (host resizes)."""
+        return self.model.apply(
+            variables, batch["sup_rgb"], batch["sup_mask"], batch["qry_rgb"],
+            out_hw=None, train=False)
+
+    def compute_loss(self, logits, batch, aux: Dict):
+        labels = batch["qry_msk"]
+        labels = labels.reshape(-1, *labels.shape[-2:])
+        logits = logits.reshape(-1, *logits.shape[-3:])
+        return self.loss_obj(logits, labels)
+
+    # ---------------- construction -------------------------------------
+    def init_variables(self):
+        variables = self.model.init(self.init_rngs(),
+                                    *self.example_inputs(INIT_HW))
+        variables = jax.tree_util.tree_map(np.asarray, variables)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self.maybe_load_pretrained(params, batch_stats)
+        return {"params": params, "batch_stats": batch_stats}
+
+    def maybe_load_pretrained(self, params, batch_stats):
+        """Backbone init from converted torchvision weights when present
+        (reference loads resnet50-19c8e357.pth etc.; see
+        pemp_tpu/utils/torch_convert.py)."""
+        from pemp_tpu.utils import torch_convert
+        torch_convert.try_load_backbone(
+            self.name, self.cfg, params, batch_stats, self.logger)
+
+    def make_loss_fn(self):
+        def loss_fn(params, batch_stats, batch, rng):
+            variables = {"params": params, "batch_stats": batch_stats}
+            logits, mutated, aux = self.apply_train(variables, batch, rng)
+            loss = self.compute_loss(logits, batch, aux)
+            return loss, (mutated.get("batch_stats", batch_stats), aux)
+        return loss_fn
+
+    def make_eval_step(self):
+        jit_apply = jax.jit(lambda variables, batch:
+                            self.apply_eval(variables, batch))
+        shard = (mesh_lib.batch_sharding(self.mesh)
+                 if self.mesh is not None else None)
+
+        def step(batch):
+            return jit_apply(self._variables, device_batch(batch, shard))
+        return step
+
+    # ---------------- commands ------------------------------------------
+    def train(self):
+        cfg, run = self.cfg, self.run
+        self.logger.info("Run: " + " ".join(sys.argv))
+        misc.set_seed(cfg.seed)
+
+        train_ds, train_loader, _ = datasets.load(cfg, "train")
+        val_ds, val_loader, num_classes = datasets.load(cfg, "eval_online")
+
+        variables = self.init_variables()
+        steps_per_epoch = cfg.data.train_n // cfg.data.bs
+        max_steps = cfg.tr.total_epochs * steps_per_epoch
+        tx, opt_state, lr_policy, _ = solver_lib.get(
+            cfg.tr, variables["params"], self.frozen_patterns, max_steps)
+
+        state = TrainState(variables["params"], variables["batch_stats"],
+                           opt_state)
+        if self.mesh is not None:
+            from pemp_tpu.parallel.step import replicate_state
+            state = replicate_state(state, self.mesh)
+
+        train_step = make_train_step(self.make_loss_fn(), tx, self.mesh)
+        trainer = Trainer(cfg, run, state, train_step, lr_policy,
+                          steps_per_epoch, self.name)
+        self._variables = None   # bound lazily by eval step
+        evaluator = self._make_evaluator("EVAL_ONLINE")
+
+        # the evaluator reads the trainer's live state
+        trainer_self = trainer
+
+        def live_eval_step(batch):
+            self._variables = {"params": trainer_self.state.params,
+                               "batch_stats": trainer_self.state.batch_stats}
+            return self._raw_eval_step(batch)
+
+        self._raw_eval_step = self.make_eval_step()
+        evaluator.eval_step = live_eval_step
+
+        self.logger.info("Start training.")
+        trainer.start_training_loop(train_ds, train_loader, evaluator,
+                                    val_ds, val_loader, num_classes)
+        self.logger.info(
+            f"========== Ending training with id {run._id} ==========")
+        if run._id is not None:
+            self.cfg.exp_id = run._id
+            return self.test()
+
+    def test(self):
+        cfg = self.cfg
+        misc.set_seed(cfg.seed)
+        test_ds, test_loader, num_classes = datasets.load(cfg, "test")
+
+        variables = self.init_variables()
+        path = misc.find_snapshot(cfg, cfg.exp_id, cfg.ckpt)
+        variables = ckpt_lib.load_variables(path, variables)
+        self.logger.info(f"Model initialized from {path}")
+        self._variables = variables
+        self._raw_eval_step = self.make_eval_step()
+
+        evaluator = self._make_evaluator("EVAL")
+        evaluator.eval_step = lambda batch: self._raw_eval_step(batch)
+        self.logger.info("Start testing.")
+        loss, miou, biou = evaluator.start_eval_loop(
+            test_ds, test_loader, num_classes)
+        miou, biou = float(np.mean(miou)), float(np.mean(biou))
+        result = f"Loss: {loss:.4f}, mIoU: {miou * 100:.2f}, " \
+                 f"bIoU: {biou * 100:.2f}"
+        self.logger.info(result)
+        return result
+
+    def _make_evaluator(self, mode):
+        val_labels = datasets.get_val_labels(self.cfg, self.cfg.split)
+        return Evaluator(self.cfg, None, val_labels, mode, self.name)
+
+
+def run_command(runtime_cls, command: str, cfg, run):
+    rt = runtime_cls(cfg, run)
+    return getattr(rt, command)()

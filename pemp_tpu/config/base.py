@@ -133,6 +133,9 @@ class Config:
     loss: str = "ce"                    # ce | cedt
     sigma: float = 5.0                  # cedt EDT bandwidth
     loss_coef: float = 1.0              # aux-loss coefficient (panet/rpmms/pfenet)
+    resume: bool = False                # resume this run's ckpt.msgpack (params
+    #                                     + optimizer state; the reference
+    #                                     cannot mid-run resume)
 
     g: GlobalConfig = field(default_factory=GlobalConfig)
     tpu: DeviceConfig = field(default_factory=DeviceConfig)

@@ -91,7 +91,27 @@ class Experiment:
             with open(run_dir / "config.json", "w") as f:
                 json.dump({k: repr(v) for k, v in flatten_config(cfg).items()},
                           f, indent=2)
+            self._snapshot_sources(run_dir)
         return cfg, Run(run_id, run_dir)
+
+    def _snapshot_sources(self, run_dir: Path) -> None:
+        """Copy the entry script + git revision into the run dir
+        (reference: utils/misc.py:23-31 source snapshots)."""
+        import shutil
+        import subprocess
+        try:
+            entry = Path(sys.argv[0])
+            if entry.exists() and entry.suffix == ".py":
+                src_dir = run_dir / "sources"
+                src_dir.mkdir(exist_ok=True)
+                shutil.copy2(entry, src_dir / entry.name)
+            rev = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True,
+                text=True, timeout=5)
+            if rev.returncode == 0:
+                (run_dir / "REVISION").write_text(rev.stdout)
+        except Exception:
+            pass    # snapshots are best-effort
 
     def run_commandline(self, argv: Optional[List[str]] = None):
         argv = list(sys.argv[1:] if argv is None else argv)

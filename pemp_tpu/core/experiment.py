@@ -43,6 +43,13 @@ class EntryRuntime:
         self.loss_obj = loss_lib.get(cfg)
         self.mesh = (mesh_lib.data_mesh(cfg.tpu.mesh)
                      if cfg.tpu.mesh > 1 else None)
+        # eval-time model: identical params, fused Pallas kernels enabled
+        # when the model supports them and we're on TPU (forward-only)
+        self.eval_model = self.model
+        if cfg.tpu.use_pallas and hasattr(self.model, "use_pallas"):
+            from pemp_tpu.ops.pallas.mpm import pallas_available
+            if pallas_available():
+                self.eval_model = self.model.clone(use_pallas=True)
 
     # ---------------- hooks (override per model) -----------------------
     def example_inputs(self, hw: int) -> Tuple:
@@ -55,6 +62,12 @@ class EntryRuntime:
     def init_rngs(self) -> Dict:
         return {"params": jax.random.PRNGKey(self.cfg.seed)}
 
+    def wrap_data(self, ds, loader, train: bool):
+        """Hook: wrap dataset/loader (CaNet's history adapter)."""
+        return ds, loader
+
+    post_step = None    # optional hook(aux, batch) after each train step
+
     def apply_train(self, variables, batch, rng):
         """Forward in train mode. Returns (logits [B,Q,H,W,2], mutated,
         aux_losses dict)."""
@@ -66,7 +79,7 @@ class EntryRuntime:
 
     def apply_eval(self, variables, batch):
         """Forward in eval mode at FEATURE resolution (host resizes)."""
-        return self.model.apply(
+        return self.eval_model.apply(
             variables, batch["sup_rgb"], batch["sup_mask"], batch["qry_rgb"],
             out_hw=None, train=False)
 
@@ -78,8 +91,10 @@ class EntryRuntime:
 
     # ---------------- construction -------------------------------------
     def init_variables(self):
-        variables = self.model.init(self.init_rngs(),
-                                    *self.example_inputs(INIT_HW))
+        # jit the init: one compiled executable instead of thousands of
+        # eager op dispatches (pathologically slow on this backend)
+        init_fn = jax.jit(lambda rngs, *args: self.model.init(rngs, *args))
+        variables = init_fn(self.init_rngs(), *self.example_inputs(INIT_HW))
         variables = jax.tree_util.tree_map(np.asarray, variables)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
@@ -120,6 +135,8 @@ class EntryRuntime:
 
         train_ds, train_loader, _ = datasets.load(cfg, "train")
         val_ds, val_loader, num_classes = datasets.load(cfg, "eval_online")
+        train_ds, train_loader = self.wrap_data(train_ds, train_loader, True)
+        val_ds, val_loader = self.wrap_data(val_ds, val_loader, False)
 
         variables = self.init_variables()
         steps_per_epoch = cfg.data.train_n // cfg.data.bs
@@ -136,6 +153,7 @@ class EntryRuntime:
         train_step = make_train_step(self.make_loss_fn(), tx, self.mesh)
         trainer = Trainer(cfg, run, state, train_step, lr_policy,
                           steps_per_epoch, self.name)
+        trainer.post_step = self.post_step
         self._variables = None   # bound lazily by eval step
         evaluator = self._make_evaluator("EVAL_ONLINE")
 
@@ -152,7 +170,8 @@ class EntryRuntime:
 
         self.logger.info("Start training.")
         trainer.start_training_loop(train_ds, train_loader, evaluator,
-                                    val_ds, val_loader, num_classes)
+                                    val_ds, val_loader, num_classes,
+                                    resume=cfg.resume)
         self.logger.info(
             f"========== Ending training with id {run._id} ==========")
         if run._id is not None:
@@ -163,6 +182,7 @@ class EntryRuntime:
         cfg = self.cfg
         misc.set_seed(cfg.seed)
         test_ds, test_loader, num_classes = datasets.load(cfg, "test")
+        test_ds, test_loader = self.wrap_data(test_ds, test_loader, False)
 
         variables = self.init_variables()
         path = misc.find_snapshot(cfg, cfg.exp_id, cfg.ckpt)

@@ -21,6 +21,7 @@ TPU-native differences:
 
 from __future__ import annotations
 
+import os
 import time
 from pathlib import Path
 from typing import Any, Callable, Dict, Optional
@@ -156,6 +157,9 @@ class Trainer:
         self.best_iou = -1.0
         self.best_epoch = -1
         self._epoch_counter = 0
+        # optional hook: post_step(aux, batch) after every train step
+        # (CaNet's history-mask write-back uses this)
+        self.post_step = None
         nd = len(str(cfg.tr.total_epochs))
         self.template = (f"Epoch: {{:{nd}d}}/{{:{nd}d}}"
                          " | LR: {:.2e} | Train {:7.5f} | Val {:7.5f}"
@@ -200,22 +204,38 @@ class Trainer:
 
     # --- loop -----------------------------------------------------------
     def start_training_loop(self, train_ds, train_loader, evaluator,
-                            val_ds, val_loader, num_classes):
+                            val_ds, val_loader, num_classes,
+                            resume: bool = False):
         timer = Timer()
         if self.do_ckpt:
             self.model_dir.mkdir(parents=True, exist_ok=True)
 
-        for epoch in range(1, self.cfg.tr.total_epochs + 1):
+        start_epoch = self.maybe_resume() if resume else 0
+        # keep the epoch task stream aligned with the resumed position
+        for _ in range(start_epoch):
+            train_ds.sample_tasks()
+
+        profile_dir = os.environ.get("PEMP_PROFILE_DIR")
+
+        for epoch in range(start_epoch + 1, self.cfg.tr.total_epochs + 1):
+            if profile_dir and epoch == start_epoch + 2:
+                # profile the second epoch (first is compile-heavy)
+                jax.profiler.start_trace(profile_dir)
             train_ds.sample_tasks()
             losses = []
             step_rng = jax.random.PRNGKey(self.cfg.seed + epoch)
             for step_i, batch in enumerate(train_loader):
                 with timer.start():
                     rng = jax.random.fold_in(step_rng, step_i)
-                    self.state, loss = self.train_step(
+                    self.state, loss, aux = self.train_step(
                         self.state, batch, self.lr_policy.lr, rng)
                     losses.append(loss)
+                    if self.post_step is not None:
+                        self.post_step(aux, batch)
                 self.step_lr()
+
+            if profile_dir and epoch == start_epoch + 2:
+                jax.profiler.stop_trace()
 
             train_loss = float(np.mean(jax.device_get(losses))) \
                 if losses else 0.0

@@ -67,7 +67,9 @@ def class_name(new_cls: int) -> str:
 class COCO20i:
     def __init__(self, cfg, train: bool, split: int, shot: int, query: int,
                  ret_name: bool = False):
-        from pycocotools.coco import COCO as COCOApi
+        # our own COCO index + native C++ mask rasterizer replaces
+        # pycocotools (see pemp_tpu/data/coco_index.py, native/coco_mask.cpp)
+        from pemp_tpu.data.coco_index import COCOIndex as COCOApi
 
         self.cfg = cfg
         self.train = train

@@ -50,14 +50,26 @@ class NetConfig:
 
 
 def mpm_predict(sup_fts, qry_fts, sup_fg, sup_bg, ctr, protos, dist_scalar,
-                ret_ind=False):
+                ret_ind=False, use_pallas=False):
     """Meta-prototype module + prediction (reference :165-230).
 
     sup_fts [B,S,n,c], qry_fts [B,Q,n,c], masks [B,S,n]; ``ctr`` may be
     None (protos == 0 falls back to plain masked-average prototypes,
     reference :223-228).
+
+    ``use_pallas=True`` runs the fused TPU kernels
+    (pemp_tpu/ops/pallas/mpm.py, bit-matching the jnp path) — forward
+    only, so it's enabled on the eval step, not under autodiff.
     """
     if ctr is not None:
+        if use_pallas:
+            from pemp_tpu.ops.pallas.mpm import (
+                meta_prototype_assign_pallas, prototype_match_pallas)
+            fg_proto, bg_proto = meta_prototype_assign_pallas(
+                sup_fts, sup_fg, sup_bg, ctr, protos)
+            return prototype_match_pallas(qry_fts, fg_proto, bg_proto,
+                                          dist_scalar,
+                                          return_indices=ret_ind)
         fg_proto, bg_proto = meta_prototype_assign(
             sup_fts, sup_fg, sup_bg, ctr, protos)
         return prototype_predictions(qry_fts, fg_proto, bg_proto,
@@ -85,6 +97,7 @@ class PEMPStage1(nn.Module):
     block_size: int = 4
     dist_scalar: float = 20.0
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False    # fused TPU kernels (eval/forward only)
 
     FROZEN = {"vgg16": [], "resnet50": [r"backbone/.*bn"],
               "resnet101": [r"backbone/.*bn"]}
@@ -128,7 +141,8 @@ class PEMPStage1(nn.Module):
         else:
             ctr = None
         out = mpm_predict(sup_fts, qry_fts, sup_fg, sup_bg, ctr,
-                          self.protos, self.dist_scalar, ret_ind=ret_ind)
+                          self.protos, self.dist_scalar, ret_ind=ret_ind,
+                          use_pallas=self.use_pallas and not train)
 
         if ret_ind:
             logits, indices = out

@@ -138,9 +138,8 @@ def adaptive_avg_pool(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
         return x
 
     def bounds(size):
-        lo = [int(jnp.floor(jnp.array(i * size / out_size)))
-              for i in range(out_size)]
-        hi = [int(-(-((i + 1) * size) // out_size)) for i in range(out_size)]
+        lo = [(i * size) // out_size for i in range(out_size)]
+        hi = [-(-((i + 1) * size) // out_size) for i in range(out_size)]
         return lo, hi
 
     ys = jnp.cumsum(x.astype(jnp.float32), axis=1)

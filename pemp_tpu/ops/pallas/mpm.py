@@ -1,0 +1,268 @@
+"""Pallas TPU kernels for the PEMP prototype hot path.
+
+Two fused kernels replace the jnp chains in pemp_tpu/ops/prototypes.py
+(the ground-truth implementations they are tested against):
+
+1. ``meta_prototype_assign_pallas`` — the meta-prototype module
+   (reference networks/pemp_stage1.py:205-211): squared-distance logits
+   to the learned centers, per-class softmax over p, fg/bg masking, and
+   the assignment-weighted feature reduction, all in one VMEM-resident
+   pass per pixel tile. The [n, 2p] assignment tensor never touches HBM
+   (the XLA version materializes [B,S,n,2,p] twice).
+
+2. ``prototype_match_pallas`` — dense cosine matching + max-over-p
+   (reference :213-215 / baseline.py:144-149): query/prototype norms,
+   the [n, 2p] similarity matmul, per-class max and first-occurrence
+   argmax fused.
+
+TPU layout rules respected throughout:
+- the [n, 2p] lane axis is never reshaped into [n, 2, p] (Mosaic cannot
+  re-layout lanes); per-class reductions use fg/bg column indicators,
+- the pixel axis is tiled (grid axis 1) so each block stays ~2 MB in
+  VMEM; the assignment kernel accumulates its [2p, c] partials across
+  pixel tiles into a revisited output block,
+- padded prototype columns are masked with -inf before softmax/max;
+  accumulation is f32 (MXU ``preferred_element_type``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+try:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAS_PALLAS = True
+except Exception:       # pragma: no cover
+    _HAS_PALLAS = False
+
+NEG = -1e30
+ROW_TILE = 1024         # pixel rows per block (~2 MB f32 at c=512)
+
+
+def pallas_available() -> bool:
+    if not _HAS_PALLAS:
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# kernel 1: meta-prototype soft assignment (accumulating over pixel tiles)
+# ---------------------------------------------------------------------------
+
+def _assign_kernel(fts_ref, mask_ref, ctr_ref, padmask_ref,
+                   num_ref, den_ref, *, protos_pad: int):
+    j = pl.program_id(1)
+    f = fts_ref[0].astype(jnp.float32)                   # [tn, c]
+    tn = f.shape[0]
+    k2 = 2 * protos_pad
+
+    ctr = ctr_ref[:].astype(jnp.float32)                 # [c, 2p_pad]
+    c_sq = jnp.sum(ctr * ctr, axis=0, keepdims=True)     # [1, 2p_pad]
+    f_sq = jnp.sum(f * f, axis=1, keepdims=True)         # [tn, 1]
+    fc = jnp.dot(f, ctr, preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST)
+    dist = -(f_sq - 2.0 * fc + c_sq) + padmask_ref[:]    # [tn, 2p_pad]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tn, k2), 1)
+    is_fg = (col < protos_pad).astype(jnp.float32)
+
+    def class_softmax(ind):
+        mx = jnp.max(dist + (1.0 - ind) * NEG, axis=1, keepdims=True)
+        e = jnp.exp(dist - mx) * ind
+        return e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
+
+    m = mask_ref[0].astype(jnp.float32)                  # [tn, 2] fg/bg
+    a2 = (class_softmax(is_fg) * m[:, 0:1]
+          + class_softmax(1.0 - is_fg) * m[:, 1:2])      # [tn, 2p_pad]
+
+    num = jax.lax.dot_general(
+        a2, f, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)             # [2p_pad, c]
+    den = jnp.sum(a2, axis=0)[None, :]                   # [1, 2p_pad]
+
+    @pl.when(j == 0)
+    def _():
+        num_ref[0] = num
+        den_ref[0] = den
+
+    @pl.when(j > 0)
+    def _():
+        num_ref[0] += num
+        den_ref[0] += den
+
+
+def meta_prototype_assign_pallas(sup_fts, sup_fg, sup_bg, ctr, protos: int,
+                                 eps: float = 1e-6,
+                                 interpret: bool = False):
+    """Drop-in for pemp_tpu.ops.prototypes.meta_prototype_assign.
+
+    sup_fts [B,S,n,c], masks [B,S,n], ctr [c, 2p] -> (fg, bg) [B,p,c].
+    Padded pixel rows have zero masks, so they contribute nothing.
+    """
+    b, s, n, c = sup_fts.shape
+    p_pad = max(_round_up(protos, 4), 4)
+    tn = min(ROW_TILE, _round_up(n, 8))
+    n_pad = _round_up(n, tn)
+    n_tiles = n_pad // tn
+    bs = b * s
+
+    f = jnp.zeros((bs, n_pad, c), jnp.float32)
+    f = f.at[:, :n].set(sup_fts.reshape(bs, n, c).astype(jnp.float32))
+    mask = jnp.zeros((bs, n_pad, 2), jnp.float32)
+    mask = mask.at[:, :n, 0].set(sup_fg.reshape(bs, n))
+    mask = mask.at[:, :n, 1].set(sup_bg.reshape(bs, n))
+
+    ctr_pad = jnp.zeros((c, 2 * p_pad), jnp.float32)
+    ctr_pad = ctr_pad.at[:, :protos].set(ctr[:, :protos])
+    ctr_pad = ctr_pad.at[:, p_pad:p_pad + protos].set(ctr[:, protos:])
+    padmask = np.zeros((1, 2 * p_pad), np.float32)
+    padmask[0, protos:p_pad] = NEG
+    padmask[0, p_pad + protos:] = NEG
+    padmask = jnp.asarray(padmask)
+
+    kernel = functools.partial(_assign_kernel, protos_pad=p_pad)
+    num, den = pl.pallas_call(
+        kernel,
+        grid=(bs, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tn, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 2 * p_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * p_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2 * p_pad, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * p_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bs, 2 * p_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((bs, 1, 2 * p_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(f, mask, ctr_pad, padmask)
+
+    num = num.reshape(b, s, 2 * p_pad, c)
+    den = den.reshape(b, s, 2 * p_pad)[..., None]
+    proto = jnp.mean(num / (den + eps), axis=1)          # [b, 2p_pad, c]
+    return proto[:, :protos], proto[:, p_pad:p_pad + protos]
+
+
+# ---------------------------------------------------------------------------
+# kernel 2: dense cosine matching + max over prototypes
+# ---------------------------------------------------------------------------
+
+def _match_kernel(qry_ref, proto_ref, padmask_ref, logit_ref, ind_ref, *,
+                  protos_pad: int, dist_scalar: float, cos_eps: float):
+    q = qry_ref[0].astype(jnp.float32)                   # [tn, c]
+    tn = q.shape[0]
+    k2 = 2 * protos_pad
+    p = proto_ref[0].astype(jnp.float32)                 # [2p_pad, c]
+
+    qn = jnp.sqrt(jnp.sum(q * q, axis=1, keepdims=True))     # [tn, 1]
+    pn = jnp.sqrt(jnp.sum(p * p, axis=1, keepdims=True))     # [2p_pad, 1]
+    dot = jax.lax.dot_general(
+        q, p, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)             # [tn, 2p_pad]
+    sim = dot / jnp.maximum(qn * jnp.transpose(pn), cos_eps)
+    sim = sim * dist_scalar + padmask_ref[:]             # -inf on pads
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (tn, k2), 1)
+    is_fg = col < protos_pad
+
+    def class_max(ind):
+        masked = jnp.where(ind, sim, NEG)
+        mx = jnp.max(masked, axis=1, keepdims=True)      # [tn, 1]
+        at_max = masked >= mx                            # ties -> first
+        idx = jnp.min(jnp.where(at_max, col, k2), axis=1, keepdims=True)
+        return mx, idx
+
+    fg_max, fg_idx = class_max(is_fg)
+    bg_max, bg_idx = class_max(jnp.logical_not(is_fg))
+    bg_idx = bg_idx - protos_pad
+    # reference class order [bg, fg]
+    logit_ref[0] = jnp.concatenate([bg_max, fg_max], axis=1)
+    ind_ref[0] = jnp.concatenate([bg_idx, fg_idx], axis=1).astype(jnp.int32)
+
+
+def prototype_match_pallas(qry_fts, fg_proto, bg_proto,
+                           dist_scalar: float = 20.0,
+                           return_indices: bool = False,
+                           cos_eps: float = 1e-8,
+                           interpret: bool = False):
+    """Drop-in for pemp_tpu.ops.prototypes.prototype_predictions
+    (multi-prototype path). qry_fts [B,Q,n,c], protos [B,p,c]."""
+    b, q, n, c = qry_fts.shape
+    protos = fg_proto.shape[1]
+    p_pad = max(_round_up(protos, 4), 4)
+    tn = min(ROW_TILE, _round_up(n, 8))
+    n_pad = _round_up(n, tn)
+    n_tiles = n_pad // tn
+    bq = b * q
+
+    qf = jnp.zeros((bq, n_pad, c), jnp.float32)
+    qf = qf.at[:, :n].set(qry_fts.reshape(bq, n, c).astype(jnp.float32))
+    # class-major packing: [fg x p_pad, bg x p_pad]; padded prototype rows
+    # are 0 (cosine denominator clamps at eps) and masked with -inf anyway.
+    pk = jnp.zeros((b, 2 * p_pad, c), jnp.float32)
+    pk = pk.at[:, :protos].set(fg_proto.astype(jnp.float32))
+    pk = pk.at[:, p_pad:p_pad + protos].set(bg_proto.astype(jnp.float32))
+    if q != 1:
+        pk = jnp.repeat(pk, q, axis=0)
+    padmask = np.zeros((1, 2 * p_pad), np.float32)
+    padmask[0, protos:p_pad] = NEG
+    padmask[0, p_pad + protos:] = NEG
+    padmask = jnp.asarray(padmask)
+
+    kernel = functools.partial(_match_kernel, protos_pad=p_pad,
+                               dist_scalar=dist_scalar, cos_eps=cos_eps)
+    logits, inds = pl.pallas_call(
+        kernel,
+        grid=(bq, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tn, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * p_pad, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * p_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tn, 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bq, n_pad, 2), jnp.float32),
+            jax.ShapeDtypeStruct((bq, n_pad, 2), jnp.int32),
+        ],
+        interpret=interpret,
+    )(qf, pk, padmask)
+
+    # kernel already emits reference class order [bg, fg]
+    logits = logits[:, :n, :].reshape(b, q, n, 2)
+    if return_indices:
+        inds = inds[:, :n, :].reshape(b, q, n, 2)
+        return logits, inds
+    return logits

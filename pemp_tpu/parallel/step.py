@@ -47,11 +47,11 @@ def make_train_step(loss_fn: Callable, tx,
         def lf(params):
             return loss_fn(params, state.batch_stats, batch, rng)
 
-        (loss, (new_bs, _aux)), grads = jax.value_and_grad(
+        (loss, (new_bs, aux)), grads = jax.value_and_grad(
             lf, has_aux=True)(state.params)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         params = apply_updates(state.params, updates, lr)
-        return TrainState(params, new_bs, new_opt), loss
+        return TrainState(params, new_bs, new_opt), loss, aux
 
     jit_step = jax.jit(_step, donate_argnums=(0,))
     shard = batch_sharding(mesh) if mesh is not None else None

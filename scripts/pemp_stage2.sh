@@ -1,0 +1,30 @@
+#!/usr/bin/env bash
+# Usage: bash scripts/pemp_stage2.sh <command> <device> [k=v ...]
+#   <command>: train | test | visualize | print_config | help
+#   <device>:  tpu (default) | cpu | cpu8 (8 virtual CPU devices)
+# Per-model hyperparameter preset mirrors the reference launch scripts.
+
+COMMAND=$1
+DEVICE=${2:-tpu}
+shift 2 2>/dev/null || shift 1
+
+PROJECT_DIR=$(dirname $(dirname $(realpath $0)))
+
+case "$DEVICE" in
+  cpu)  export JAX_PLATFORMS=cpu ;;
+  cpu*) export JAX_PLATFORMS=cpu
+        export XLA_FLAGS="--xla_force_host_platform_device_count=${DEVICE#cpu} $XLA_FLAGS" ;;
+  *)    : ;;  # default platform (TPU)
+esac
+export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
+
+ARGS=' with
+  tag=pemp_stage2 split=0
+  loss=cedt tr.total_epochs=200 tr.lr=0.0035 net.backbone=resnet50 net.backbone2=resnet50 net.cm=True
+  '$@
+
+if [[ "$COMMAND" == "help" ]]; then
+  ARGS=""
+fi
+
+PYTHONPATH="$PROJECT_DIR" python "$PROJECT_DIR/entry/pemp_stage2.py" $COMMAND $ARGS

@@ -1,16 +1,27 @@
 """Test env: force JAX onto CPU with 8 virtual devices so multi-chip
-sharding paths can be exercised without TPU hardware (SURVEY.md section 4)."""
+sharding paths can be exercised without TPU hardware (SURVEY.md section 4).
+
+This environment preloads jax at interpreter startup (sitecustomize), so
+setting JAX_PLATFORMS via os.environ here is too late — the platform must
+be forced through jax.config after import. XLA_FLAGS still works as long
+as no backend has been instantiated yet. pytest.ini additionally blocks
+the jaxtyping plugin, which would otherwise touch jax before this file.
+"""
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Persistent compilation cache: amortize the (slow) cold XLA compiles
-# across test runs.
+# Persistent compilation cache: amortize cold XLA compiles across runs.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402  (already preloaded by sitecustomize anyway)
+
+jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,63 @@
+"""Config tree + CLI override surface."""
+
+import pytest
+
+from pemp_tpu.config import Config, Experiment, apply_overrides, flatten_config
+from pemp_tpu.models import registry
+
+
+def make_cfg():
+    cfg = Config()
+    cfg.net = registry.net_config("pemp_stage1")
+    return cfg
+
+
+def test_dotted_overrides_with_coercion():
+    cfg = make_cfg()
+    apply_overrides(cfg, {
+        "split": "2", "tr.lr": "0.01", "net.protos": "5",
+        "data.dataset": "SYNTH", "tr.sgd_nesterov": "True",
+        "tr.lr_boundaries": "[10,20]",
+    })
+    assert cfg.split == 2 and isinstance(cfg.split, int)
+    assert cfg.tr.lr == 0.01
+    assert cfg.net.protos == 5
+    assert cfg.tr.sgd_nesterov is True
+    assert cfg.tr.lr_boundaries == [10, 20]
+
+
+def test_unknown_key_rejected():
+    with pytest.raises(KeyError):
+        apply_overrides(make_cfg(), {"net.bogus": 1})
+    with pytest.raises(KeyError):
+        apply_overrides(make_cfg(), {"nosuch.scope": 1})
+
+
+def test_flatten_has_scopes():
+    flat = flatten_config(make_cfg())
+    for key in ("tag", "g.model_dir", "data.bs", "tr.lr", "te.epochs",
+                "net.protos", "tpu.precision"):
+        assert key in flat, key
+
+
+def test_experiment_requires_split(tmp_path):
+    cfg = make_cfg()
+    cfg.g.model_dir = str(tmp_path)
+    ex = Experiment("t", cfg)
+    with pytest.raises(ValueError):
+        ex.assemble("train", {})
+    cfg2, run = ex.assemble("train", {"split": "1"})
+    assert cfg2.split == 1
+    assert run._id == 1
+    assert (tmp_path / cfg2.tag / "1" / "config.json").exists()
+    # run ids increment
+    _, run2 = ex.assemble("train", {"split": "1"})
+    assert run2._id == 2
+
+
+def test_unobserved_run_has_no_id(tmp_path):
+    cfg = make_cfg()
+    cfg.g.model_dir = str(tmp_path)
+    ex = Experiment("t", cfg)
+    _, run = ex.assemble("train", {"split": "0"}, observed=False)
+    assert run._id is None

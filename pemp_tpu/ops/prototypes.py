@@ -49,6 +49,15 @@ def masked_average_pooling(fts: jnp.ndarray, mask: jnp.ndarray,
     return num / den
 
 
+def _safe_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """L2 norm with a zero (not NaN) gradient at the zero vector —
+    ``sqrt`` grad at 0 is inf and torch special-cases it to 0; the
+    clamped sum keeps the forward value identical for any real vector
+    (tiny << eps^2 of the cosine denominator clamp)."""
+    sq = jnp.sum(x * x, axis=-1)
+    return jnp.sqrt(jnp.maximum(sq, 1e-30))
+
+
 def cosine_similarity(x: jnp.ndarray, y: jnp.ndarray,
                       eps: float = COS_EPS) -> jnp.ndarray:
     """Cosine similarity over the trailing channel axis with torch
@@ -60,8 +69,8 @@ def cosine_similarity(x: jnp.ndarray, y: jnp.ndarray,
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
     dot = jnp.einsum("...nc,...kc->...nk", x, y, precision=_HI)
-    xn = jnp.linalg.norm(x, axis=-1)[..., :, None]
-    yn = jnp.linalg.norm(y, axis=-1)[..., None, :]
+    xn = _safe_norm(x)[..., :, None]
+    yn = _safe_norm(y)[..., None, :]
     return dot / jnp.maximum(xn * yn, eps)
 
 

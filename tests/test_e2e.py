@@ -1,0 +1,108 @@
+"""End-to-end entry runtime: tiny observed train -> auto-test on SYNTH.
+
+Covers the full vertical slice (SURVEY.md section 7.2 step 3): config ->
+data -> model -> solver -> trainer loop -> eval protocol -> checkpoint
+discovery -> test command, in-process.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+def make_experiment(tmp_path):
+    import entry.baseline as eb
+    cfg, run = eb.ex.assemble("train", {
+        "split": "0", "data.dataset": "SYNTH", "data.height": "33",
+        "data.width": "33", "data.bs": "2", "data.train_n": "4",
+        "data.test_n": "2", "data.num_workers": "2", "te.epochs": "1",
+        "tr.total_epochs": "1", "net.backbone": "vgg16",
+        "g.model_dir": str(tmp_path),
+    })
+    return eb, cfg, run
+
+
+def test_train_then_test_roundtrip(tmp_path):
+    eb, cfg, run = make_experiment(tmp_path)
+    result = eb.BaselineRuntime(cfg, run).train()
+    # train auto-chains into test and returns its summary string
+    assert result is not None and "mIoU" in result
+
+    run_dir = tmp_path / cfg.tag / "1"
+    assert (run_dir / "config.json").exists()
+    assert (run_dir / "ckpt.msgpack").exists()
+    assert (run_dir / "bestckpt.msgpack").exists()
+    metrics = json.loads((run_dir / "metrics.json").read_text())
+    for key in ("train_loss", "val_loss", "val_mIoU", "val_bIoU"):
+        assert key in metrics and len(metrics[key]) == 1
+
+
+def test_grads_flow_and_frozen_params_stay(tmp_path):
+    """One real train step on PEMP stage-1 resnet50: trainable params
+    move, frozen backbone BN params don't, batch stats DO update
+    (frozen-BN semantics, reference backbones.py:56-62)."""
+    import jax
+    import flax.traverse_util as tu
+    from pemp_tpu.config import Config
+    from pemp_tpu.core import solver as solver_lib
+    from pemp_tpu.core.trainer import TrainState
+    from pemp_tpu.core.experiment import EntryRuntime
+    from pemp_tpu.models import registry
+
+    cfg = Config(split=0, shot=1, query=1)
+    cfg.net = registry.net_config("pemp_stage1")
+    cfg.net.backbone = "resnet50"
+    cfg.data.dataset = "SYNTH"
+    cfg.data.height = cfg.data.width = 33
+
+    class RT(EntryRuntime):
+        name = "pemp_stage1"
+
+    from pemp_tpu.config.cli import Run
+    rt = RT(cfg, Run(None, None))
+    variables = rt.init_variables()
+    tx, opt_state, lrp, _ = solver_lib.get(
+        cfg.tr, variables["params"], rt.frozen_patterns, 10)
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       opt_state)
+
+    from pemp_tpu.parallel.step import make_train_step
+    step = make_train_step(rt.make_loss_fn(), tx)
+
+    rng = np.random.RandomState(0)
+    # one episode has an ALL-FOREGROUND support mask (bg prototype is the
+    # zero vector) — gradients must stay finite (safe-norm semantics)
+    fg = (rng.rand(2, 1, 33, 33, 1) > 0.5).astype(np.float32)
+    fg[0] = 1.0
+    batch = {
+        "sup_rgb": rng.randn(2, 1, 33, 33, 3).astype(np.float32),
+        "sup_mask": np.concatenate([fg, 1.0 - fg], -1),
+        "qry_rgb": rng.randn(2, 1, 33, 33, 3).astype(np.float32),
+        "qry_msk": rng.randint(0, 2, (2, 1, 33, 33)).astype(np.int32),
+    }
+    before_p = tu.flatten_dict(jax.device_get(state.params), sep="/")
+    before_s = tu.flatten_dict(jax.device_get(state.batch_stats), sep="/")
+    state, loss, _ = step(state, batch, 0.01, jax.random.PRNGKey(0))
+    assert np.isfinite(float(loss))
+    after_p = tu.flatten_dict(jax.device_get(state.params), sep="/")
+    after_s = tu.flatten_dict(jax.device_get(state.batch_stats), sep="/")
+
+    moved = changed_frozen = 0
+    for k in before_p:
+        assert np.isfinite(after_p[k]).all(), f"non-finite params at {k}"
+        delta = float(np.abs(after_p[k] - before_p[k]).max())
+        if "backbone/" in k and "bn" in k.lower():
+            assert delta == 0.0, f"frozen param moved: {k}"
+            changed_frozen += 1
+        elif delta > 0:
+            moved += 1
+    assert changed_frozen > 50          # there are many frozen BN params
+    assert moved > 10                   # trainable params updated
+    assert float(np.abs(after_p["ctr"] - before_p["ctr"]).max()) > 0
+
+    # frozen-BN running statistics still update in train mode
+    stats_moved = sum(
+        float(np.abs(after_s[k] - before_s[k]).max()) > 0 for k in before_s)
+    assert stats_moved > 0

@@ -137,3 +137,30 @@ def test_dropout_rngs_only_needed_in_train():
         rngs={"dropout": jax.random.PRNGKey(2)}, mutable=["batch_stats"])
     assert out2.shape == (B, Q, FEAT, FEAT, 2)
     assert "batch_stats" in mutated
+
+
+def test_pemp_stage2_five_shot_cm():
+    """5-shot episode: the CM pools over spq = shot + query = 6 images."""
+    rng = np.random.RandomState(7)
+    s = 5
+    sup_img = jnp.asarray(rng.randn(1, s, H, W, 3).astype(np.float32))
+    fg = (rng.rand(1, s, H, W, 1) > 0.5).astype(np.float32)
+    sup_mask = jnp.asarray(np.concatenate([fg, 1 - fg], axis=-1))
+    qry_img = jnp.asarray(rng.randn(1, Q, H, W, 3).astype(np.float32))
+    prior = jnp.zeros((1, Q, H, W), jnp.float32)
+    model = PEMPStage2(backbone="resnet50", spq=s + Q)
+    _, out = init_and_apply(model, sup_img, sup_mask, qry_img, prior,
+                            out_hw=(H, W))
+    assert out.shape == (1, Q, H, W, 2)
+
+
+def test_baseline_five_shot():
+    rng = np.random.RandomState(8)
+    s = 5
+    sup_img = jnp.asarray(rng.randn(1, s, H, W, 3).astype(np.float32))
+    fg = (rng.rand(1, s, H, W, 1) > 0.5).astype(np.float32)
+    sup_mask = jnp.asarray(np.concatenate([fg, 1 - fg], axis=-1))
+    qry_img = jnp.asarray(rng.randn(1, Q, H, W, 3).astype(np.float32))
+    model = Baseline(backbone="vgg16")
+    _, out = init_and_apply(model, sup_img, sup_mask, qry_img, out_hw=(H, W))
+    assert out.shape == (1, Q, H, W, 2)

@@ -46,6 +46,8 @@ class DeviceConfig:
     precision: str = "bf16"             # backbone compute dtype: bf16 | f32
     prefetch: int = 2                   # device prefetch depth for the input pipeline
     use_pallas: bool = True             # use Pallas kernels for fused hot ops (TPU only)
+    compact_wire: bool = True           # f16/uint8 host->device wire format
+    #                                     (2.4x less PCIe/tunnel traffic)
 
 
 @dataclass

@@ -118,13 +118,15 @@ class EntryRuntime:
         return loss_fn
 
     def make_eval_step(self):
+        from pemp_tpu.parallel.step import unpack_batch
         jit_apply = jax.jit(lambda variables, batch:
-                            self.apply_eval(variables, batch))
+                            self.apply_eval(variables, unpack_batch(batch)))
         shard = (mesh_lib.batch_sharding(self.mesh)
                  if self.mesh is not None else None)
 
         def step(batch):
-            return jit_apply(self._variables, device_batch(batch, shard))
+            return jit_apply(self._variables, device_batch(
+                batch, shard, self.cfg.tpu.compact_wire))
         return step
 
     # ---------------- commands ------------------------------------------
@@ -150,7 +152,15 @@ class EntryRuntime:
             from pemp_tpu.parallel.step import replicate_state
             state = replicate_state(state, self.mesh)
 
-        train_step = make_train_step(self.make_loss_fn(), tx, self.mesh)
+        train_step = make_train_step(self.make_loss_fn(), tx, self.mesh,
+                                     compact_wire=cfg.tpu.compact_wire)
+        # overlap host->device transfer with compute (double-buffered)
+        from pemp_tpu.parallel.step import DevicePrefetcher
+        shard = (mesh_lib.batch_sharding(self.mesh)
+                 if self.mesh is not None else None)
+        train_loader = DevicePrefetcher(train_loader, shard,
+                                        depth=cfg.tpu.prefetch,
+                                        compact_wire=cfg.tpu.compact_wire)
         trainer = Trainer(cfg, run, state, train_step, lr_policy,
                           steps_per_epoch, self.name)
         trainer.post_step = self.post_step

@@ -66,7 +66,8 @@ def load(cfg, mode: str):
     bs = cfg.data.bs if train else cfg.data.test_bs
     loader = EpisodeLoader(ds, bs, num_workers=cfg.data.num_workers,
                            prefetch=cfg.tpu.prefetch,
-                           drop_last=train)
+                           drop_last=train,
+                           shard_by_process=train)  # multi-host training
     return ds, loader, ds.num_classes
 
 

@@ -43,23 +43,37 @@ class EpisodeLoader:
     """
 
     def __init__(self, dataset, batch_size: int, num_workers: int = 4,
-                 prefetch: int = 2, drop_last: bool = False):
+                 prefetch: int = 2, drop_last: bool = False,
+                 shard_by_process: bool = False):
+        """``shard_by_process=True`` makes each host process own a
+        contiguous slice of the globally pre-sampled episode list
+        (multi-host training; the seeded sampler stream is identical on
+        every process, so the global order is reproducible)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)
         self.prefetch = max(1, prefetch)
         self.drop_last = drop_last
+        self.shard_by_process = shard_by_process
+
+    def _range(self):
+        n = len(self.dataset)
+        if not self.shard_by_process:
+            return 0, n
+        from pemp_tpu.parallel.mesh import process_episode_range
+        return process_episode_range(n)
 
     def __len__(self):
-        n = len(self.dataset)
+        start, stop = self._range()
+        n = stop - start
         return n // self.batch_size if self.drop_last \
             else -(-n // self.batch_size)
 
     def _batches(self):
-        n = len(self.dataset)
-        idx = list(range(n))
-        for start in range(0, n, self.batch_size):
-            chunk = idx[start:start + self.batch_size]
+        start, stop = self._range()
+        idx = list(range(start, stop))
+        for s in range(0, len(idx), self.batch_size):
+            chunk = idx[s:s + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 return
             yield chunk

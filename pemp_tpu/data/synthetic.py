@@ -69,10 +69,24 @@ class SyntheticDataset:
         return N_CLASSES
 
     # --- episode generation --------------------------------------------
+    _render_cache = {}
+
     def _render(self, name: str):
-        """Deterministic image + blob mask for a sample name."""
+        """Deterministic image + blob mask for a sample name (cached —
+        the render is a pure function of the name and size)."""
+        key = (name, self.height, self.width)
+        if self.cfg.data.cache and key in self._render_cache:
+            return self._render_cache[key]
+        out = self._render_uncached(name)
+        if self.cfg.data.cache:
+            self._render_cache[key] = out
+        return out
+
+    def _render_uncached(self, name: str):
         h, w = self.height, self.width
-        rng = np.random.RandomState(abs(hash(name)) % (2 ** 31))
+        # zlib.crc32 is stable across processes (python str hash is salted)
+        import zlib
+        rng = np.random.RandomState(zlib.crc32(name.encode()) % (2 ** 31))
         img = rng.rand(h, w, 3).astype(np.float32)
         cy, cx = rng.randint(h // 4, 3 * h // 4), rng.randint(w // 4, 3 * w // 4)
         ry, rx = rng.randint(h // 8, h // 3), rng.randint(w // 8, w // 3)

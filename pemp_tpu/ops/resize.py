@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from functools import partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,8 +44,29 @@ def _nearest_coords(in_size: int, out_size: int):
     return jnp.asarray(np.clip(src.astype(np.int64), 0, in_size - 1))
 
 
+def _interp_matrix(in_size: int, out_size: int) -> np.ndarray:
+    """Dense [out, in] interpolation matrix (2 nonzeros per row)."""
+    if out_size == 1:
+        src = np.zeros((1,), np.float64)
+    else:
+        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    i0 = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
+    i1 = np.minimum(i0 + 1, in_size - 1)
+    w1 = (src - i0).astype(np.float32)
+    mat = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    mat[rows, i0] += 1.0 - w1
+    mat[rows, i1] += w1
+    return mat
+
+
 def resize_bilinear_align_corners(x: jnp.ndarray, out_hw, spatial_axes=(-3, -2)):
     """Bilinear resize with torch ``align_corners=True`` semantics.
+
+    Implemented as two small dense matmuls (``W_h @ x @ W_w^T``) rather
+    than gathers: on TPU the gather formulation's BACKWARD lowers to
+    scatters, which are pathologically slow — the matmul form keeps both
+    directions on the MXU (its transpose is just the transposed matmul).
 
     Parameters
     ----------
@@ -59,17 +81,17 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw, spatial_axes=(-3, -2))
     dtype = x.dtype
     xf = x.astype(jnp.float32)
 
-    i0, i1, w0, w1 = _linear_coords(in_h, out_h)
-    shape = [1] * x.ndim
-    shape[ah] = out_h
-    xf = (jnp.take(xf, i0, axis=ah) * w0.reshape(shape)
-          + jnp.take(xf, i1, axis=ah) * w1.reshape(shape))
-
-    j0, j1, v0, v1 = _linear_coords(in_w, out_w)
-    shape = [1] * x.ndim
-    shape[aw] = out_w
-    xf = (jnp.take(xf, j0, axis=aw) * v0.reshape(shape)
-          + jnp.take(xf, j1, axis=aw) * v1.reshape(shape))
+    hi = jax.lax.Precision.HIGHEST
+    if in_h != out_h:
+        wh = jnp.asarray(_interp_matrix(in_h, out_h))        # [out_h, in_h]
+        xf = jnp.moveaxis(
+            jnp.tensordot(wh, jnp.moveaxis(xf, ah, 0), axes=((1,), (0,)),
+                          precision=hi), 0, ah)
+    if in_w != out_w:
+        ww = jnp.asarray(_interp_matrix(in_w, out_w))        # [out_w, in_w]
+        xf = jnp.moveaxis(
+            jnp.tensordot(ww, jnp.moveaxis(xf, aw, 0), axes=((1,), (0,)),
+                          precision=hi), 0, aw)
     return xf.astype(dtype)
 
 

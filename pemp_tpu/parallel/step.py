@@ -25,25 +25,60 @@ from pemp_tpu.core.solver import apply_updates
 from pemp_tpu.core.trainer import TrainState
 from pemp_tpu.parallel.mesh import batch_sharding, replicate
 
-ARRAY_KEYS = ("sup_rgb", "sup_mask", "qry_rgb", "qry_msk", "cls",
-              "history", "qry_prior")
+ARRAY_KEYS = ("sup_rgb", "sup_mask", "qry_rgb", "qry_msk",
+              "history", "qry_prior")   # 'cls' stays host-side (metrics)
+
+# Host->device wire format: images travel as f16 and masks as uint8 —
+# 2.4x fewer bytes per step. On tunneled chips the H2D transfer dominates
+# the train step (measured 14x), and even on a real TPU VM it halves the
+# PCIe traffic. ``unpack_batch`` restores compute dtypes inside the jit.
+WIRE_DTYPES = {
+    "sup_rgb": np.float16, "qry_rgb": np.float16,
+    "sup_mask": np.uint8, "qry_msk": np.uint8,
+    "history": np.float16, "qry_prior": np.uint8,
+    "cls": np.int32,
+}
+UNPACK_DTYPES = {
+    "sup_rgb": jnp.float32, "qry_rgb": jnp.float32,
+    "sup_mask": jnp.float32, "qry_msk": jnp.int32,
+    "history": jnp.float32, "qry_prior": jnp.float32,
+    "cls": jnp.int32,
+}
 
 
-def device_batch(batch: Dict, sharding=None) -> Dict:
-    """numpy batch -> device arrays (optionally sharded on episodes)."""
+def device_batch(batch: Dict, sharding=None, compact_wire: bool = True) -> Dict:
+    """numpy batch -> device arrays (optionally sharded on episodes).
+    Already-on-device arrays pass through untouched."""
     out = {}
     for k in ARRAY_KEYS:
-        if k in batch and isinstance(batch[k], np.ndarray):
-            out[k] = jax.device_put(batch[k], sharding) \
-                if sharding is not None else jnp.asarray(batch[k])
+        if k not in batch:
+            continue
+        v = batch[k]
+        if isinstance(v, np.ndarray):
+            if compact_wire and k in WIRE_DTYPES:
+                v = v.astype(WIRE_DTYPES[k])
+            out[k] = jax.device_put(v, sharding) \
+                if sharding is not None else jnp.asarray(v)
+        elif isinstance(v, jax.Array):
+            out[k] = v
     return out
 
 
+def unpack_batch(batch: Dict) -> Dict:
+    """Traced: restore compute dtypes from the wire format (no-op cost
+    under jit — fuses into the first consumers)."""
+    return {k: (v.astype(UNPACK_DTYPES[k]) if k in UNPACK_DTYPES else v)
+            for k, v in batch.items()}
+
+
 def make_train_step(loss_fn: Callable, tx,
-                    mesh: Optional[Mesh] = None) -> Callable:
+                    mesh: Optional[Mesh] = None,
+                    compact_wire: bool = True) -> Callable:
     """Returns ``step(state, host_batch, lr, rng) -> (state, loss)``."""
 
     def _step(state: TrainState, batch, lr, rng):
+        batch = unpack_batch(batch)
+
         def lf(params):
             return loss_fn(params, state.batch_stats, batch, rng)
 
@@ -57,7 +92,7 @@ def make_train_step(loss_fn: Callable, tx,
     shard = batch_sharding(mesh) if mesh is not None else None
 
     def step(state, host_batch, lr, rng):
-        batch = device_batch(host_batch, shard)
+        batch = device_batch(host_batch, shard, compact_wire)
         return jit_step(state, batch, jnp.float32(lr), rng)
 
     return step
@@ -66,7 +101,8 @@ def make_train_step(loss_fn: Callable, tx,
 def make_eval_step(apply_fn: Callable, mesh: Optional[Mesh] = None) -> Callable:
     """Wrap a jittable ``apply_fn(variables, batch) -> outputs`` with
     device placement. Entries close over variables."""
-    jit_apply = jax.jit(apply_fn)
+    jit_apply = jax.jit(
+        lambda variables, batch: apply_fn(variables, unpack_batch(batch)))
     shard = batch_sharding(mesh) if mesh is not None else None
 
     def step(variables, host_batch):
@@ -78,3 +114,60 @@ def make_eval_step(apply_fn: Callable, mesh: Optional[Mesh] = None) -> Callable:
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
     rep = replicate(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+
+
+class DevicePrefetcher:
+    """Wraps a host batch iterator: a background thread device_puts the
+    next batches while the current step computes, hiding the host->device
+    transfer (which dominates the step on tunneled chips and costs real
+    PCIe time on TPU VMs). The train step receives device-resident
+    batches and skips its own transfer."""
+
+    def __init__(self, loader, sharding=None, depth: int = 2,
+                 compact_wire: bool = True):
+        self.loader = loader
+        self.sharding = sharding
+        self.depth = max(1, depth)
+        self.compact_wire = compact_wire
+
+    def __len__(self):
+        return len(self.loader)
+
+    def __iter__(self):
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                for host_batch in self.loader:
+                    if stop.is_set():
+                        return
+                    dev = dict(host_batch)
+                    dev.update(device_batch(host_batch, self.sharding,
+                                            self.compact_wire))
+                    while not stop.is_set():
+                        try:
+                            q.put(dev, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:
+                q.put(e)
+                return
+            q.put(None)
+
+        thread = threading.Thread(target=produce, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()

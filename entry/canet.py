@@ -42,6 +42,8 @@ def _softmax_np(x):
 
 class CaNetRuntime(EntryRuntime):
     name = NAME
+    # eval must write the softmax back into the history store per episode
+    supports_fast_eval = False
 
     def __init__(self, cfg, run):
         super().__init__(cfg, run)

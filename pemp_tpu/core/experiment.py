@@ -67,6 +67,9 @@ class EntryRuntime:
         return ds, loader
 
     post_step = None    # optional hook(aux, batch) after each train step
+    # fully-on-device eval for fixed-size GT; runtimes with per-episode
+    # host side effects (CaNet history write-back) must disable it
+    supports_fast_eval = True
 
     def apply_train(self, variables, batch, rng):
         """Forward in train mode. Returns (logits [B,Q,H,W,2], mutated,
@@ -129,6 +132,41 @@ class EntryRuntime:
                 batch, shard, self.cfg.tpu.compact_wire))
         return step
 
+    def make_fast_eval_step(self):
+        """Fully on-device eval for fixed-size GT: feature-res logits
+        (any model's ``apply_eval``) -> align_corners resize -> argmax ->
+        TP/FP/FN counts + per-episode CE, one small fetch per batch.
+        The Evaluator uses this automatically when the query GT matches
+        the input size (SYNTH, or bucketed real data); variable-size GT
+        keeps the host-exact path."""
+        from pemp_tpu.core.losses import per_episode_cross_entropy
+        from pemp_tpu.core.metrics import tp_fp_fn
+        from pemp_tpu.models.common import output_resize
+        from pemp_tpu.parallel.step import unpack_batch
+
+        def full(variables, wire_batch):
+            batch = unpack_batch(wire_batch)
+            logits = self.apply_eval(variables, batch)       # [B,Q,h,w,2]
+            out_hw = tuple(batch["qry_rgb"].shape[2:4])
+            logits = output_resize(logits, out_hw)           # [B,Q,H,W,2]
+            labels = batch["qry_msk"]                        # [B,Q,H,W]
+            b = logits.shape[0]
+            lg = logits.reshape(b, -1, 2)
+            lb = labels.reshape(b, -1)
+            losses = per_episode_cross_entropy(lg, lb)
+            pred = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
+            counts = jax.vmap(tp_fp_fn)(pred, labels[:, 0])
+            return counts, losses
+
+        jit_full = jax.jit(full)
+        shard = (mesh_lib.batch_sharding(self.mesh)
+                 if self.mesh is not None else None)
+
+        def step(batch):
+            return jit_full(self._variables, device_batch(
+                batch, shard, self.cfg.tpu.compact_wire))
+        return step
+
     # ---------------- commands ------------------------------------------
     def train(self):
         cfg, run = self.cfg, self.run
@@ -177,6 +215,16 @@ class EntryRuntime:
 
         self._raw_eval_step = self.make_eval_step()
         evaluator.eval_step = live_eval_step
+        if self.supports_fast_eval:
+            raw_fast = self.make_fast_eval_step()
+
+            def live_fast_step(batch):
+                self._variables = {
+                    "params": trainer_self.state.params,
+                    "batch_stats": trainer_self.state.batch_stats}
+                return raw_fast(batch)
+
+            evaluator.fast_step = live_fast_step
 
         self.logger.info("Start training.")
         trainer.start_training_loop(train_ds, train_loader, evaluator,
@@ -203,6 +251,8 @@ class EntryRuntime:
 
         evaluator = self._make_evaluator("EVAL")
         evaluator.eval_step = lambda batch: self._raw_eval_step(batch)
+        if self.supports_fast_eval:
+            evaluator.fast_step = self.make_fast_eval_step()
         self.logger.info("Start testing.")
         loss, miou, biou = evaluator.start_eval_loop(
             test_ds, test_loader, num_classes)

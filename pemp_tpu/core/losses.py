@@ -40,6 +40,17 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(pix) / jnp.maximum(jnp.sum(valid), 1)
 
 
+def per_episode_cross_entropy(logits: jnp.ndarray,
+                              labels: jnp.ndarray) -> jnp.ndarray:
+    """Per-episode mean CE (ignore 255): logits [B, ..., C], labels
+    [B, ...] -> [B] (the eval protocol reports loss per episode)."""
+    pix, valid = _pixel_ce(logits, labels)
+    b = pix.shape[0]
+    pix = pix.reshape(b, -1)
+    valid = valid.reshape(b, -1)
+    return jnp.sum(pix, axis=1) / jnp.maximum(jnp.sum(valid, axis=1), 1)
+
+
 def cross_entropy_no_ignore(logits: jnp.ndarray,
                             labels: jnp.ndarray) -> jnp.ndarray:
     """Plain mean CE (reference RPMMs get_loss / PANet align use the

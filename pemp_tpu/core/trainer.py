@@ -68,6 +68,9 @@ class Evaluator:
         self.cfg = cfg
         self.mode = mode
         self.eval_step = eval_step
+        # optional fully-on-device path for fixed-size GT (set by the
+        # entry runtime): batch -> (counts [B,2,3], losses [B])
+        self.fast_step = None
         self.val_labels = list(val_labels)
         self.logger = loggers.get_global_logger(logger_name)
 
@@ -77,6 +80,13 @@ class Evaluator:
         if array.ndim == 0:
             return f"{float(array):5.2f}"
         return "[" + ", ".join(f"{x:5.2f}" for x in array) + "]"
+
+    @staticmethod
+    def _fixed_size(batch) -> bool:
+        """Query GT at input resolution -> the on-device path is exact."""
+        q = batch.get("qry_msk")
+        return (isinstance(q, np.ndarray)
+                and q.shape[-2:] == batch["qry_rgb"].shape[2:4])
 
     def _episode_metrics(self, logits_feat, batch, fs_metric):
         """Host tail: per-episode exact resize -> argmax -> loss/metrics.
@@ -107,8 +117,17 @@ class Evaluator:
             dataset.sample_tasks()
             for batch in loader:
                 with timer.start():
-                    logits = self.eval_step(batch)
-                    loss = self._episode_metrics(logits, batch, fs_metric)
+                    if self.fast_step is not None \
+                            and self._fixed_size(batch):
+                        counts, losses = self.fast_step(batch)
+                        fs_metric.update_counts(
+                            np.asarray(jax.device_get(counts)),
+                            batch["cls"])
+                        loss = float(np.mean(jax.device_get(losses)))
+                    else:
+                        logits = self.eval_step(batch)
+                        loss = self._episode_metrics(logits, batch,
+                                                     fs_metric)
                 inner.update(loss=loss)
 
             miou, miou_mean = fs_metric.mIoU(self.val_labels)

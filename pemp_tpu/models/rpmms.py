@@ -12,6 +12,11 @@ Behavioral counterpart of reference ``networks/rpmms.py``:
   CaNet-style refinement head; stage t's softmax feeds stage t+1 as a
   pseudo mask. Returns (out_k1, out_k3, out_k6) feature-res logits; the
   3-term CE loss lives in pemp_tpu/core/losses.py (rpmms_loss).
+
+Known deviation: the reference encodes support and query in separate
+backbone calls (:222-225), so train-mode BN statistics are computed per
+group; here they share one concatenated call (like every other model in
+the zoo), which differs only in train-mode batch statistics.
 """
 
 from __future__ import annotations

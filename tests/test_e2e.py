@@ -106,3 +106,30 @@ def test_grads_flow_and_frozen_params_stay(tmp_path):
     stats_moved = sum(
         float(np.abs(after_s[k] - before_s[k]).max()) > 0 for k in before_s)
     assert stats_moved > 0
+
+
+def test_fast_eval_matches_host_path(tmp_path):
+    """The on-device batched eval (resize+argmax+counts on device) must
+    produce identical metrics to the host-exact per-episode path."""
+    eb, cfg, run = make_experiment(tmp_path)
+    rt = eb.BaselineRuntime(cfg, run)
+    rt.train()
+
+    import entry.baseline as eb2
+    results = []
+    for fast in (True, False):
+        cfg2, run2 = eb.ex.assemble("test", {
+            "split": "0", "data.dataset": "SYNTH", "data.height": "33",
+            "data.width": "33", "data.test_n": "6", "te.epochs": "1",
+            "data.test_bs": "3" if fast else "1",
+            "net.backbone": "vgg16", "exp_id": "1",
+            "g.model_dir": str(tmp_path),
+        }, observed=False)
+        rt2 = eb.BaselineRuntime(cfg2, run2)
+        rt2.supports_fast_eval = fast
+        results.append(rt2.test())
+    # identical mIoU/bIoU strings (loss formatting may differ in the
+    # last digit from f16 wire + reduction order; compare metrics only)
+    m_fast = results[0].split("mIoU")[1]
+    m_slow = results[1].split("mIoU")[1]
+    assert m_fast == m_slow, results

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Convert a REFERENCE-trained full-model checkpoint (.pth) into our
+msgpack format, enabling mIoU parity evaluation without retraining.
+
+Supports the flagship models:
+- baseline  (reference networks/baseline.py state_dict layout)
+- pemp_stage1 (reference networks/pemp_stage1.py: encoder.backbone +
+  encoder.purifier [conv/DropBlock/ASPPV2] + ctr)
+
+Usage:
+  python tools/convert_reference_ckpt.py --model pemp_stage1 \
+      --backbone resnet50 --ckpt bestckpt.pth --out bestckpt.msgpack
+"""
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+import numpy as np
+
+
+def _t(w):
+    return np.ascontiguousarray(np.transpose(np.asarray(w), (2, 3, 1, 0)))
+
+
+def _set(tree, path, value):
+    node = tree
+    for p in path[:-1]:
+        node = node[p]
+    if node[path[-1]].shape != value.shape:
+        raise ValueError(f"{'/'.join(path)}: {node[path[-1]].shape} "
+                         f"vs {value.shape}")
+    node[path[-1]] = value.astype(np.float32)
+
+
+def _conv(params, path, sd, key, bias=True):
+    _set(params, path + ("Conv_0", "kernel"), _t(sd[f"{key}.weight"]))
+    if bias and f"{key}.bias" in sd:
+        _set(params, path + ("Conv_0", "bias"), np.asarray(sd[f"{key}.bias"]))
+
+
+def _bn(params, stats, path, sd, key):
+    _set(params, path + ("BatchNorm_0", "scale"),
+         np.asarray(sd[f"{key}.weight"]))
+    _set(params, path + ("BatchNorm_0", "bias"),
+         np.asarray(sd[f"{key}.bias"]))
+    _set(stats, path + ("BatchNorm_0", "mean"),
+         np.asarray(sd[f"{key}.running_mean"]))
+    _set(stats, path + ("BatchNorm_0", "var"),
+         np.asarray(sd[f"{key}.running_var"]))
+
+
+def convert_trained(model_name: str, backbone: str, sd, params, stats):
+    """Map a reference full-model state_dict onto our param trees."""
+    from pemp_tpu.utils import torch_convert as tc
+
+    prefix = "encoder.backbone."
+    backbone_sd = {k[len(prefix):]: v for k, v in sd.items()
+                   if k.startswith(prefix)}
+
+    if backbone == "vgg16":
+        tc.convert_vgg16({k.replace("features.", "features."): v
+                          for k, v in backbone_sd.items()}, params)
+    else:
+        tc.convert_resnet(backbone_sd, params, stats, backbone, stages=3)
+
+    if model_name == "baseline":
+        if "encoder.projection.weight" in sd:
+            _conv(params, ("projection",), sd, "encoder.projection")
+        return
+
+    if model_name == "pemp_stage1":
+        if "ctr" in sd:
+            _set(params, ("ctr",), np.asarray(sd["ctr"]))
+        if backbone == "vgg16":
+            return
+        # purifier Sequential: 0=conv1x1, 2/5=DropBlock(no params),
+        # 3=conv3x3, 6=ASPPV2 (reference pemp_stage1.py:73-80)
+        _conv(params, ("purifier", "conv1"), sd, "encoder.purifier.0")
+        _conv(params, ("purifier", "conv2"), sd, "encoder.purifier.3")
+        # ASPPV2 branches: aspp_k = Sequential(BN, DropBlock, Conv, ReLU)
+        for k in range(5):
+            _bn(params, stats, ("purifier", "aspp", f"aspp_{k}_bn"),
+                sd, f"encoder.purifier.6.aspp_{k}.0")
+            _conv(params, ("purifier", "aspp", f"aspp_{k}_conv"),
+                  sd, f"encoder.purifier.6.aspp_{k}.2")
+        _conv(params, ("purifier", "aspp", "layer6"),
+              sd, "encoder.purifier.6.layer6")
+        return
+
+    raise ValueError(f"Unsupported model '{model_name}' "
+                     "(supported: baseline, pemp_stage1)")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True,
+                    choices=["baseline", "pemp_stage1"])
+    ap.add_argument("--backbone", default="resnet50")
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--shot", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from pemp_tpu.core import checkpoint as ckpt_lib
+    from pemp_tpu.utils.torch_convert import load_state_dict
+
+    if args.model == "baseline":
+        from pemp_tpu.models.baseline import Baseline
+        model = Baseline(backbone=args.backbone)
+    else:
+        from pemp_tpu.models.pemp_stage1 import PEMPStage1
+        model = PEMPStage1(backbone=args.backbone)
+
+    hw = 33
+    variables = jax.jit(lambda r, *a: model.init(r, *a))(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.zeros((1, args.shot, hw, hw, 3)),
+        jnp.zeros((1, args.shot, hw, hw, 2)),
+        jnp.zeros((1, 1, hw, hw, 3)))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(
+        np.asarray, variables.get("batch_stats", {}))
+
+    sd = load_state_dict(Path(args.ckpt))
+    convert_trained(args.model, args.backbone, sd, params, stats)
+    ckpt_lib.save(Path(args.out),
+                  {"params": params, "batch_stats": stats})
+    print(f"converted {args.ckpt} -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

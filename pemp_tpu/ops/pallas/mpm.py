@@ -80,8 +80,12 @@ def _assign_kernel(fts_ref, mask_ref, ctr_ref, padmask_ref,
     is_fg = (col < protos_pad).astype(jnp.float32)
 
     def class_softmax(ind):
-        mx = jnp.max(dist + (1.0 - ind) * NEG, axis=1, keepdims=True)
-        e = jnp.exp(dist - mx) * ind
+        # exclusion must happen INSIDE the exponent: exp(dist_other - mx)
+        # overflows to inf when the other class's distances exceed this
+        # class's max by ~88 (f32), and inf * 0 = NaN.
+        d = dist + (1.0 - ind) * NEG
+        mx = jnp.max(d, axis=1, keepdims=True)
+        e = jnp.exp(d - mx) * ind
         return e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
 
     m = mask_ref[0].astype(jnp.float32)                  # [tn, 2] fg/bg

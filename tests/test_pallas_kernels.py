@@ -52,3 +52,31 @@ def test_match_kernel_matches_reference(n, c, p):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_assign_kernel_well_separated_classes_no_overflow():
+    """Regression: when one class's distances exceed the other's max by
+    more than exp's f32 range (~88), the per-class softmax must not
+    overflow (inf * 0 = NaN). Features sit near the bg centers and far
+    from the fg centers."""
+    rng = np.random.RandomState(0)
+    b, s, n, c, p = 1, 1, 40, 64, 3
+    sup = rng.randn(b, s, n, c).astype(np.float32) * 0.1
+    fg = (rng.rand(b, s, n) > 0.5).astype(np.float32)
+    bg = 1.0 - fg
+    ctr = np.zeros((c, 2 * p), np.float32)
+    ctr[:, :p] = 10.0       # fg centers far away: ||f - ctr||^2 ~ 6400
+    ctr[:, p:] = 0.0        # bg centers close
+
+    f1, b1 = meta_prototype_assign(
+        jnp.asarray(sup), jnp.asarray(fg), jnp.asarray(bg),
+        jnp.asarray(ctr), p)
+    f2, b2 = meta_prototype_assign_pallas(
+        jnp.asarray(sup), jnp.asarray(fg), jnp.asarray(bg),
+        jnp.asarray(ctr), p, interpret=True)
+    assert np.isfinite(np.asarray(f2)).all()
+    assert np.isfinite(np.asarray(b2)).all()
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f2),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
+                               rtol=1e-4, atol=1e-5)

@@ -1,0 +1,89 @@
+"""PASCAL-5i loader end-to-end on a generated miniature dataset:
+Binary_map_aug layout, class lists, augmentation + smart crop, and the
+variable-size test-GT contract — without the real dataset."""
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from pemp_tpu.config import Config
+from pemp_tpu.data.loader import EpisodeLoader
+from pemp_tpu.data.pascal import PascalVOC
+from pemp_tpu.models import registry
+
+
+@pytest.fixture(scope="module")
+def voc_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("voc")
+    (root / "JPEGImages").mkdir()
+    rng = np.random.RandomState(0)
+    # classes 1-20, 3 samples each, in both train and val subsets
+    for subset in ("train", "val"):
+        for cls in range(1, 21):
+            cdir = root / "Binary_map_aug" / subset / str(cls)
+            cdir.mkdir(parents=True)
+            names = []
+            for i in range(3):
+                name = f"{subset}_{cls:02d}_{i}"
+                names.append(name)
+                h, w = 50 + cls, 70 + i  # varied original sizes
+                img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
+                Image.fromarray(img).save(
+                    root / "JPEGImages" / f"{name}.jpg")
+                mask = np.zeros((h, w), np.uint8)
+                mask[10:30, 15:40] = 255
+                Image.fromarray(mask).save(cdir / f"{name}.png")
+            (root / "Binary_map_aug" / subset / f"{cls}.txt").write_text(
+                "\n".join(names) + "\n")
+    return root
+
+
+def make_cfg(root):
+    cfg = Config()
+    cfg.net = registry.net_config("baseline")
+    cfg.data.dataset = "PASCAL"
+    cfg.data.base_dir = str(root)
+    cfg.data.height = cfg.data.width = 41
+    cfg.data.train_n = 4
+    cfg.data.test_n = 3
+    cfg.data.cache = False
+    return cfg
+
+
+def test_train_contract_and_augmentation(voc_root):
+    import random
+    random.seed(0)
+    cfg = make_cfg(voc_root)
+    ds = PascalVOC(cfg, train=True, split=0, shot=1, query=1)
+    assert sorted(ds.classes) == list(range(6, 21))   # split 0 held out
+    ds.sample_tasks()
+    batch = next(iter(EpisodeLoader(ds, 2, num_workers=2, drop_last=True)))
+    assert batch["sup_rgb"].shape == (2, 1, 41, 41, 3)
+    assert batch["sup_mask"].shape == (2, 1, 41, 41, 2)
+    np.testing.assert_allclose(batch["sup_mask"].sum(-1), 1.0)
+    assert batch["qry_msk"].shape == (2, 1, 41, 41)
+    assert all(c in range(6, 21) for c in batch["cls"])
+    # smart crop guarantees some foreground in the support crop
+    assert batch["sup_mask"][..., 0].sum() > 0
+
+
+def test_test_contract_variable_gt(voc_root):
+    cfg = make_cfg(voc_root)
+    ds = PascalVOC(cfg, train=False, split=2, shot=1, query=1)
+    assert ds.classes == [11, 12, 13, 14, 15]
+    ds.sample_tasks()
+    ep = ds.get_episode(0)
+    cls = ep["cls"]
+    # query GT at ORIGINAL resolution (reference pascal_voc.py:229)
+    assert ep["qry_msk"].shape[1] == 50 + cls
+    assert ep["sup_rgb"].shape == (1, 41, 41, 3)
+    assert set(np.unique(ep["qry_msk"])) <= {0, 1}
+
+
+def test_seeded_stream_reproducible(voc_root):
+    cfg = make_cfg(voc_root)
+    a = PascalVOC(cfg, train=False, split=0, shot=1, query=1)
+    b = PascalVOC(cfg, train=False, split=0, shot=1, query=1)
+    a.sample_tasks()
+    b.sample_tasks()
+    assert a.sampler.tasks == b.sampler.tasks

@@ -15,7 +15,7 @@ from __future__ import annotations
 import ast
 import dataclasses
 from dataclasses import dataclass, field, fields, is_dataclass
-from typing import Any, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Tuple
 
 
 def config_field(default):

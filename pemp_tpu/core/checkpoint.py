@@ -12,7 +12,7 @@ works (stage-2 loading a frozen stage-1, test/visualize commands).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 from flax import serialization

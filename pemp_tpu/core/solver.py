@@ -24,10 +24,9 @@ from __future__ import annotations
 
 import math
 import re
-from typing import Any, List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import optax
 from flax import traverse_util
 

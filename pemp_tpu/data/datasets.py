@@ -13,7 +13,7 @@ the stack runs without PASCAL/COCO on disk (tests, benchmarks).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Tuple
+from typing import List
 
 from pemp_tpu.data.loader import EpisodeLoader
 

@@ -16,7 +16,7 @@ reference contract at data_kits/pascal_voc_test.py:24-36):
 
 from __future__ import annotations
 
-from typing import Dict, List
+from typing import Dict
 
 import numpy as np
 

@@ -17,11 +17,10 @@ sharding rules keep whole episodes device-local (SURVEY.md section 2.4).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
-from jax import lax
 
 from pemp_tpu.models.layers import (
     BatchNorm, Conv, Dtype, kaiming_normal_relu, max_pool_torch,

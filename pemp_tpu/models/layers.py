@@ -16,9 +16,8 @@ drop-in:
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple
+from typing import Any, Callable, Tuple
 
-import jax
 import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax

@@ -20,7 +20,7 @@ Behavioral counterpart of reference ``networks/pfenet.py`` +
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -7,7 +7,7 @@ regex patterns for the optimizer mask.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, List, Tuple
+from typing import Any, Callable, Dict, Tuple
 
 import jax.numpy as jnp
 

@@ -33,7 +33,7 @@ from jax import lax
 from pemp_tpu.models import backbones
 from pemp_tpu.models.common import RESNET_LAYERS, output_resize
 from pemp_tpu.models.layers import ASPP, BatchNorm, Conv, Dropout2d, Dtype
-from pemp_tpu.models.canet import ResidualBlock, canet_normal_init
+from pemp_tpu.models.canet import ResidualBlock
 from pemp_tpu.ops.resize import resize_bilinear_align_corners
 
 _HI = lax.Precision.HIGHEST

@@ -19,7 +19,6 @@ the limit).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -28,7 +28,6 @@ TPU layout rules respected throughout:
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -19,7 +19,7 @@ versions are the ground truth it is tested against.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 from jax import lax

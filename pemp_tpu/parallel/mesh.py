@@ -16,8 +16,6 @@ TPU-native scaling axis is **data-parallel episodes** over a 1-D mesh:
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -13,8 +13,7 @@ their leading episode axis; GSPMD inserts the gradient all-reduce.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable, Dict, Optional
+from typing import Callable, Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ notice is logged (datasets/weights are not bundled).
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

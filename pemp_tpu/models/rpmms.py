@@ -54,15 +54,17 @@ def _l2norm(x, axis):
     return x / (1e-6 + jnp.linalg.norm(x, axis=axis, keepdims=True))
 
 
-def pmm_em(rng, x, k, stage_num=10, kappa=20.0):
+def pmm_em(rng, x, k, stage_num=10, kappa=20.0, mu0=None):
     """EM prototype estimation on features ``x`` [B, n, c] -> mu [B, k, c].
 
     Random mu init: normal(0, sqrt(2/k)) l2-normalized over channels
     (reference :42-43), shared across the batch, fresh per call.
+    ``mu0`` [1, c, k] overrides the random init (parity tests).
     """
     b, n, c = x.shape
-    mu0 = jax.random.normal(rng, (1, c, k)) * math.sqrt(2.0 / k)
-    mu0 = _l2norm(mu0, axis=1)                               # [1, c, k]
+    if mu0 is None:
+        mu0 = jax.random.normal(rng, (1, c, k)) * math.sqrt(2.0 / k)
+        mu0 = _l2norm(mu0, axis=1)                           # [1, c, k]
     mu = jnp.broadcast_to(mu0, (b, c, k))
 
     x = lax.stop_gradient(x.astype(jnp.float32))

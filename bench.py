@@ -64,8 +64,11 @@ def main():
     def eval_batch(variables, sup, msk, qry, ref):
         logits = model.apply(variables, sup, msk, qry, out_hw=(hw, hw),
                              train=False)
-        pred = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-        return jax.vmap(tp_fp_fn)(pred, ref).sum(axis=0)
+        # counts sum over every query (Q=1 here, per the reference
+        # protocol, but a Q>1 config cannot silently drop queries)
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # [B,Q,H,W]
+        refs = jnp.repeat(ref, pred.shape[1], axis=0)
+        return jax.vmap(tp_fp_fn)(pred.reshape(-1, hw, hw), refs).sum(axis=0)
 
     for _ in range(WARMUP):
         eval_batch(variables, sup, msk, qry, ref).block_until_ready()

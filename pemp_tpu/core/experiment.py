@@ -154,8 +154,10 @@ class EntryRuntime:
             lg = logits.reshape(b, -1, 2)
             lb = labels.reshape(b, -1)
             losses = per_episode_cross_entropy(lg, lb)
-            pred = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-            counts = jax.vmap(tp_fp_fn)(pred, labels[:, 0])
+            # all Q queries contribute counts (same fg class per episode,
+            # so TP/FP/FN simply add across the episode's queries)
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B,Q,H,W]
+            counts = jax.vmap(jax.vmap(tp_fp_fn))(pred, labels).sum(axis=1)
             return counts, losses
 
         jit_full = jax.jit(full)

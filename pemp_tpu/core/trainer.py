@@ -92,30 +92,36 @@ class Evaluator:
         """Host tail: per-episode exact resize -> argmax -> loss/metrics.
         logits_feat: [B, Q, h, w, 2] device array."""
         logits_feat = np.asarray(jax.device_get(logits_feat), np.float32)
-        b = logits_feat.shape[0]
+        b, n_qry = logits_feat.shape[:2]
         qry_msk = batch["qry_msk"]
         losses = []
         for i in range(b):
             label = np.asarray(qry_msk[i] if isinstance(qry_msk, list)
                                else qry_msk[i])
-            label = label.reshape(label.shape[-2:])      # [H', W'] (Q=1)
-            lg = resize_bilinear_align_corners_np(
-                logits_feat[i, 0], label.shape)          # [H', W', 2]
-            pred = lg.argmax(axis=-1).astype(np.uint8)
-            losses.append(host_ce_loss(lg, label))
-            fs_metric.update(pred[None], label[None], [batch["cls"][i]])
+            label = label.reshape((-1,) + label.shape[-2:])  # [Q, H', W']
+            assert label.shape[0] == n_qry, \
+                f"GT has {label.shape[0]} queries, logits have {n_qry}"
+            for q in range(n_qry):
+                lg = resize_bilinear_align_corners_np(
+                    logits_feat[i, q], label.shape[-2:])     # [H', W', 2]
+                pred = lg.argmax(axis=-1).astype(np.uint8)
+                losses.append(host_ce_loss(lg, label[q]))
+                fs_metric.update(pred[None], label[q][None],
+                                 [batch["cls"][i]])
         return float(np.mean(losses))
 
     def start_eval_loop(self, dataset, loader, num_classes: int):
         dataset.reset_sampler()
         timer = Timer()
         accum = Accumulator(loss=[], miou=[], biou=[])
+        n_episodes = 0   # FPS = episodes/s, correct for any test_bs
 
         for round_i in range(1, self.cfg.te.epochs + 1):
             fs_metric = FewShotMetric(num_classes)
             inner = Accumulator(loss=[])
             dataset.sample_tasks()
             for batch in loader:
+                n_episodes += len(np.atleast_1d(np.asarray(batch["cls"])))
                 with timer.start():
                     if self.fast_step is not None \
                             and self._fixed_size(batch):
@@ -149,7 +155,8 @@ class Evaluator:
             self.logger.info(
                 f"| bIoU mean: {self.fmt(biou_r * 100)} ==> "
                 f"{self.fmt(biou_avg * 100)}")
-            self.logger.info(f"| speed: {timer.cps:5.2f} FPS")
+            fps = n_episodes / timer.total if timer.total else 0.0
+            self.logger.info(f"| speed: {fps:5.2f} FPS")
             self.logger.info("-" * 57)
 
         return accum.mean(["loss", "miou", "biou"])

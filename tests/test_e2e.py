@@ -133,3 +133,27 @@ def test_fast_eval_matches_host_path(tmp_path):
     m_fast = results[0].split("mIoU")[1]
     m_slow = results[1].split("mIoU")[1]
     assert m_fast == m_slow, results
+
+
+def test_fast_eval_matches_host_path_multi_query(tmp_path):
+    """Q=2 episodes: both eval paths must count EVERY query (regression
+    for the fast path silently using only query 0)."""
+    eb, cfg, run = make_experiment(tmp_path)
+    rt = eb.BaselineRuntime(cfg, run)
+    rt.train()
+
+    results = []
+    for fast in (True, False):
+        cfg2, run2 = eb.ex.assemble("test", {
+            "split": "0", "data.dataset": "SYNTH", "data.height": "33",
+            "data.width": "33", "data.test_n": "4", "te.epochs": "1",
+            "query": "2", "data.test_bs": "2" if fast else "1",
+            "net.backbone": "vgg16", "exp_id": "1",
+            "g.model_dir": str(tmp_path),
+        }, observed=False)
+        rt2 = eb.BaselineRuntime(cfg2, run2)
+        rt2.supports_fast_eval = fast
+        results.append(rt2.test())
+    m_fast = results[0].split("mIoU")[1]
+    m_slow = results[1].split("mIoU")[1]
+    assert m_fast == m_slow, results

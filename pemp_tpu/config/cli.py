@@ -141,5 +141,12 @@ class Experiment:
                 f"Unknown command '{command}'. "
                 f"Available: {', '.join(sorted(self.commands))}")
 
+        # Multi-host: initialize jax.distributed BEFORE any jax op (and
+        # before run-dir creation — only process 0 records the run).
+        from pemp_tpu.parallel.mesh import initialize_distributed
+        if initialize_distributed():
+            import jax
+            observed = observed and jax.process_index() == 0
+
         cfg, run = self.assemble(command, overrides, observed=observed)
         return self.commands[command](cfg, run)

@@ -40,26 +40,63 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def initialize_distributed(cfg=None):
-    """Multi-host initialization (no-op when single-process).
+def _launch_env():
+    """Detect a multi-process launcher environment.
 
-    On TPU pods, launch one process per host and call this before any jax
-    op; episode loaders then shard the pre-sampled task list per process
+    Returns ``"explicit"`` (COORDINATOR_ADDRESS + NUM_PROCESSES +
+    PROCESS_ID set by a generic launcher), ``"auto"`` (a Cloud TPU pod
+    slice / Slurm / GKE environment that ``jax.distributed.initialize()``
+    auto-detects), or ``None`` (single process)."""
+    import os
+    if "COORDINATOR_ADDRESS" in os.environ:
+        missing = [k for k in ("NUM_PROCESSES", "PROCESS_ID")
+                   if k not in os.environ]
+        if missing:
+            raise RuntimeError(
+                f"COORDINATOR_ADDRESS is set but {missing} are not; a "
+                "multi-process launch needs all three")
+        return "explicit"
+    hosts = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    if len([h for h in hosts.split(",") if h]) > 1:
+        return "auto"   # TPU pod slice: one process per host
+    if "SLURM_JOB_NUM_NODES" in os.environ \
+            and int(os.environ.get("SLURM_NTASKS", "1")) > 1:
+        return "auto"
+    return None
+
+
+def initialize_distributed() -> bool:
+    """Multi-host ``jax.distributed`` initialization.
+
+    Call before the first jax backend touch (the entry CLI does). The
+    episode loaders then shard the pre-sampled task list per process
     (globally reproducible because sampling is a seeded host-side numpy
-    stream — see pemp_tpu/data/sampler.py)."""
-    if jax.process_count() > 1:
-        return  # already initialized by the launcher
-    try:
-        import os
-        if "COORDINATOR_ADDRESS" in os.environ:
-            jax.distributed.initialize()
-    except Exception:
-        pass
+    stream — see pemp_tpu/data/sampler.py). Misconfiguration raises —
+    a broken world must fail loudly, not degrade to single-process.
+
+    Returns True when running multi-process (freshly or already
+    initialized), False for a plain single-process run."""
+    import os
+    if jax.distributed.is_initialized():
+        return True   # already initialized by the launcher
+    env = _launch_env()
+    if env is None:
+        return False
+    if env == "explicit":
+        jax.distributed.initialize(
+            coordinator_address=os.environ["COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ["NUM_PROCESSES"]),
+            process_id=int(os.environ["PROCESS_ID"]))
+    else:
+        jax.distributed.initialize()   # auto-detect (TPU pod / Slurm)
+    return True
 
 
-def process_episode_range(n_episodes: int):
-    """[start, stop) slice of the global episode list owned by this
-    process (host-sharded input pipeline)."""
-    rank, world = jax.process_index(), jax.process_count()
+def process_episode_range(n_episodes: int, rank=None, world=None):
+    """[start, stop) slice of the global episode list owned by process
+    ``rank`` of ``world`` (host-sharded input pipeline). Defaults to the
+    live jax process topology."""
+    rank = jax.process_index() if rank is None else rank
+    world = jax.process_count() if world is None else world
     per = -(-n_episodes // world)
-    return rank * per, min((rank + 1) * per, n_episodes)
+    return min(rank * per, n_episodes), min((rank + 1) * per, n_episodes)

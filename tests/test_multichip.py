@@ -57,3 +57,67 @@ def test_process_episode_range():
     from pemp_tpu.parallel.mesh import process_episode_range
     start, stop = process_episode_range(1000)
     assert (start, stop) == (0, 1000)   # single process owns everything
+
+
+def test_process_episode_range_world4():
+    """Disjoint cover of the global episode list across a 4-process
+    world, including the uneven tail and empty trailing ranks."""
+    from pemp_tpu.parallel.mesh import process_episode_range
+    ranges = [process_episode_range(10, rank=r, world=4) for r in range(4)]
+    assert ranges == [(0, 3), (3, 6), (6, 9), (9, 10)]
+    ranges = [process_episode_range(2, rank=r, world=4) for r in range(4)]
+    assert ranges == [(0, 1), (1, 2), (2, 2), (2, 2)]
+
+
+def test_loader_shards_by_process(monkeypatch):
+    """Rank-sharded loading for a faked 4-process world: each process's
+    EpisodeLoader yields its own disjoint slice and the union over all
+    ranks covers every episode exactly once."""
+    from pemp_tpu.config import Config
+    from pemp_tpu.data import datasets
+    from pemp_tpu.data.loader import EpisodeLoader
+
+    cfg = Config(split=0, shot=1, query=1)
+    cfg.data.dataset = "SYNTH"
+    cfg.data.height = cfg.data.width = 17
+    cfg.data.train_n = 10
+    cfg.data.bs = 2
+    ds, _, _ = datasets.load(cfg, "train")
+    ds.sample_tasks()
+
+    world = 4
+    seen = []
+    for rank in range(world):
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        monkeypatch.setattr(jax, "process_count", lambda: world)
+        loader = EpisodeLoader(ds, batch_size=2, num_workers=2,
+                               shard_by_process=True)
+        got = [ep for batch in loader
+               for ep in np.atleast_1d(batch["cls"])]
+        n = len(got)
+        assert n in (1, 2, 3), f"rank {rank} got {n} episodes"
+        seen.append(n)
+    assert sum(seen) == 10   # disjoint cover: every episode exactly once
+
+
+def test_launch_env_detection(monkeypatch):
+    from pemp_tpu.parallel.mesh import _launch_env
+    for var in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID",
+                "TPU_WORKER_HOSTNAMES", "SLURM_JOB_NUM_NODES",
+                "SLURM_NTASKS"):
+        monkeypatch.delenv(var, raising=False)
+    assert _launch_env() is None
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0")
+    assert _launch_env() is None           # single-host slice
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    assert _launch_env() == "auto"
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+
+    monkeypatch.setenv("COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    import pytest
+    with pytest.raises(RuntimeError):      # incomplete explicit config
+        _launch_env()
+    monkeypatch.setenv("NUM_PROCESSES", "4")
+    monkeypatch.setenv("PROCESS_ID", "0")
+    assert _launch_env() == "explicit"

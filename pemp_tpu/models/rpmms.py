@@ -13,10 +13,10 @@ Behavioral counterpart of reference ``networks/rpmms.py``:
   pseudo mask. Returns (out_k1, out_k3, out_k6) feature-res logits; the
   3-term CE loss lives in pemp_tpu/core/losses.py (rpmms_loss).
 
-Known deviation: the reference encodes support and query in separate
-backbone calls (:222-225), so train-mode BN statistics are computed per
-group; here they share one concatenated call (like every other model in
-the zoo), which differs only in train-mode batch statistics.
+Support and query are encoded in SEPARATE backbone calls, support first
+(reference :222-225), so train-mode BN batch statistics are computed per
+group exactly like the reference — unlike the rest of the zoo, which
+concatenates S+Q into one encoder call.
 """
 
 from __future__ import annotations
@@ -112,26 +112,33 @@ class RPMMs(nn.Module):
         q = qry_img.shape[1]
         assert q == 1, "RPMMs protocol uses a single query image"
 
-        imgs = jnp.concatenate([sup_img, qry_img], axis=1)
-        imgs = imgs.reshape(b * (s + q), H, W, 3)
-        f1, f2, f3 = backbones.ResNet(RESNET_LAYERS["resnet50"],
-                                      ret_features=True, dtype=self.dtype,
-                                      name="backbone")(imgs, train)
-        del f1
-        feat = jnp.concatenate([f2, f3], axis=-1)
-        # layer5: conv3x3 dil2 + BN + relu (reference :161-164)
-        feat = Conv(256, (3, 3), padding=2, dilation=2, dtype=self.dtype,
-                    name="layer5_conv")(feat)
-        feat = BatchNorm(dtype=self.dtype, name="layer5_bn")(feat, train)
-        feat = nn.relu(feat).astype(jnp.float32)
+        backbone = backbones.ResNet(RESNET_LAYERS["resnet50"],
+                                    ret_features=True, dtype=self.dtype,
+                                    name="backbone")
+        layer5_conv = Conv(256, (3, 3), padding=2, dilation=2,
+                           dtype=self.dtype, name="layer5_conv")
+        layer5_bn = BatchNorm(dtype=self.dtype, name="layer5_bn")
 
-        h, w = feat.shape[1:3]
-        c = feat.shape[-1]
-        feat = feat.reshape(b, s + q, h, w, c)
-        # mean over shots of masked support features for EM (the reference
-        # is single-shot; S>1 folds shots into the pixel axis)
-        sup_feat = feat[:, :s].reshape(b, s * h * w, c)
-        qry_feat = feat[:, s:].reshape(b, h, w, c)
+        def encode(imgs):
+            # extract_feature_res (reference :256-263): concat(f2, f3) ->
+            # layer5 conv3x3 dil2 + BN + relu
+            _, f2, f3 = backbone(imgs, train)
+            f = jnp.concatenate([f2, f3], axis=-1)
+            f = layer5_bn(layer5_conv(f), train)
+            return nn.relu(f).astype(jnp.float32)
+
+        # support and query encoded in SEPARATE calls, support first
+        # (reference :222-225) — train-mode BN batch statistics are
+        # computed per group, and running stats update in that order
+        sup_feat = encode(sup_img.reshape(b * s, H, W, 3))
+        qry_feat = encode(qry_img.reshape(b * q, H, W, 3))
+
+        h, w = qry_feat.shape[1:3]
+        c = qry_feat.shape[-1]
+        # masked support features for EM (the reference is single-shot;
+        # S>1 folds shots into the pixel axis)
+        sup_feat = sup_feat.reshape(b, s * h * w, c)
+        qry_feat = qry_feat.reshape(b, h, w, c)
 
         # masks bilinearly resized (align_corners) to feature res (ref :102)
         m = resize_bilinear_align_corners(

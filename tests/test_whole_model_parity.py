@@ -1,0 +1,132 @@
+"""Whole-model forward parity vs torch mirrors of the reference math
+(VERDICT round-1 item 2): end-to-end logits for every model family,
+weights shared through the same converters that load real reference
+checkpoints. Eval mode (DropBlock/Dropout no-ops); f32 everywhere with
+matmul precision pinned (this env's default matmul precision is
+bf16-level even on CPU).
+"""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from tests import torch_mirrors as tm
+
+H = W = 49
+B, S, Q = 2, 1, 1
+
+
+def episode(rng, h=H, w=W, b=B, s=S, q=Q):
+    sup_img = rng.randn(b, s, h, w, 3).astype(np.float32)
+    fg = (rng.rand(b, s, h, w, 1) > 0.5).astype(np.float32)
+    sup_mask = np.concatenate([fg, 1 - fg], -1)
+    qry_img = rng.randn(b, q, h, w, 3).astype(np.float32)
+    return sup_img, sup_mask, qry_img
+
+
+def nchw(x):
+    """[B, K, H, W, C] -> torch [B, K, C, H, W]."""
+    return torch.from_numpy(x).permute(0, 1, 4, 2, 3).contiguous()
+
+
+def to_numpy_sd(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def init_ours(model, sup_img, sup_mask, qry_img, **kw):
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(sup_img), jnp.asarray(sup_mask),
+                           jnp.asarray(qry_img), **kw)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(
+        np.asarray, variables.get("batch_stats", {}))
+    return params, stats
+
+
+def test_pemp_stage1_resnet50_forward_parity():
+    """Flagship: dilated frozen-BN ResNet-50 + purifier (convs, ASPPV2)
+    + meta-prototype module + cosine matching + align_corners resize
+    (reference pemp_stage1.py:111-230, backbones.py:80-157, :324-369)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parents[1] / "tools"))
+    from convert_reference_ckpt import convert_trained
+    from pemp_tpu.models.pemp_stage1 import PEMPStage1
+
+    torch.manual_seed(0)
+    rng = np.random.RandomState(0)
+    ref = tm.TorchPEMPStage1(protos=3)
+    tm.randomize_all_bns(ref, rng)
+    ref.eval()
+
+    sup_img, sup_mask, qry_img = episode(rng)
+    model = PEMPStage1(backbone="resnet50", protos=3)
+    params, stats = init_ours(model, sup_img, sup_mask, qry_img,
+                              out_hw=(H, W))
+    convert_trained("pemp_stage1", "resnet50", to_numpy_sd(ref),
+                    params, stats)
+
+    with jax.default_matmul_precision("highest"):
+        ours, resp = model.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(sup_img), jnp.asarray(sup_mask),
+            jnp.asarray(qry_img), out_hw=(H, W), ret_ind=True,
+            train=False)
+    ours = np.asarray(ours)                          # [B, Q, H, W, 2]
+    resp = np.asarray(resp)                          # [B, Q, H, W]
+
+    with torch.no_grad():
+        want, want_resp = ref(nchw(sup_img), nchw(sup_mask),
+                              nchw(qry_img), ret_ind=True)
+    want = want.view(B, Q, 2, H, W).permute(0, 1, 3, 4, 2).numpy()
+    want_resp = want_resp.view(B, Q, H, W).numpy()
+
+    np.testing.assert_allclose(ours, want, rtol=1e-3, atol=2e-4)
+    # response maps are integer argmax labels: demand near-exact
+    # agreement (ties at f32 can flip the odd pixel)
+    assert (resp != want_resp).mean() < 0.01
+
+
+def test_pemp_stage2_resnetcm_forward_parity():
+    """Stage 2: 4-channel RGB+prior input, ResNetCM with episode
+    communication modules, Dropout/ASPP purifier, mpm (reference
+    pemp_stage2.py:42-230, backbones.py:160-276)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parents[1] / "tools"))
+    from convert_reference_ckpt import convert_trained
+    from pemp_tpu.models.pemp_stage2 import PEMPStage2
+
+    torch.manual_seed(1)
+    rng = np.random.RandomState(1)
+    ref = tm.TorchPEMPStage2(protos=3, spq=S + Q)
+    tm.randomize_all_bns(ref, rng)
+    ref.eval()
+
+    sup_img, sup_mask, qry_img = episode(rng)
+    qry_prior = (rng.rand(B, Q, H, W) > 0.5).astype(np.float32)
+    model = PEMPStage2(backbone="resnet50", protos=3, spq=S + Q)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(sup_img), jnp.asarray(sup_mask),
+                           jnp.asarray(qry_img), jnp.asarray(qry_prior),
+                           out_hw=(H, W))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    convert_trained("pemp_stage2", "resnet50", to_numpy_sd(ref),
+                    params, stats)
+
+    with jax.default_matmul_precision("highest"):
+        ours = model.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(sup_img), jnp.asarray(sup_mask),
+            jnp.asarray(qry_img), jnp.asarray(qry_prior),
+            out_hw=(H, W), train=False)
+    ours = np.asarray(ours)
+
+    with torch.no_grad():
+        want = ref(nchw(sup_img), nchw(sup_mask), nchw(qry_img),
+                   torch.from_numpy(qry_prior).view(B * Q, 1, H, W))
+    want = want.view(B, Q, 2, H, W).permute(0, 1, 3, 4, 2).numpy()
+    np.testing.assert_allclose(ours, want, rtol=1e-3, atol=2e-4)

@@ -90,8 +90,35 @@ def convert_trained(model_name: str, backbone: str, sd, params, stats):
               sd, "encoder.purifier.6.layer6")
         return
 
-    raise ValueError(f"Unsupported model '{model_name}' "
-                     "(supported: baseline, pemp_stage1)")
+    if model_name == "pemp_stage2":
+        # ResNetCM backbone (reference backbones.py:160-276): the trained
+        # checkpoint already carries the 4-ch conv1 and +n CM input
+        # channels, so the generic resnet mapping above placed them
+        # shape-exactly; what's left: the CM linears, purifier (Dropout +
+        # ASPP, reference pemp_stage2.py:66-73) and the centers.
+        if "ctr" in sd:
+            _set(params, ("ctr",), np.asarray(sd["ctr"]))
+        if backbone == "vgg16":
+            raise ValueError("pemp_stage2 vgg16 trained-ckpt conversion "
+                             "not supported yet (ResNetCM only)")
+        for i in (1, 2, 3):
+            w = np.asarray(sd[f"encoder.backbone.linear{i}.weight"])
+            _set(params, ("backbone", f"cm{i}", "linear", "kernel"),
+                 np.ascontiguousarray(w.T))
+            _set(params, ("backbone", f"cm{i}", "linear", "bias"),
+                 np.asarray(sd[f"encoder.backbone.linear{i}.bias"]))
+        _conv(params, ("purifier", "conv1"), sd, "encoder.purifier.0")
+        _conv(params, ("purifier", "conv2"), sd, "encoder.purifier.3")
+        # ASPP branches: aspp_k = Sequential(Conv, ReLU, Dropout2d)
+        for k in range(5):
+            _conv(params, ("purifier", "aspp", f"aspp_{k}"),
+                  sd, f"encoder.purifier.6.aspp_{k}.0")
+        _conv(params, ("purifier", "aspp", "layer6"),
+              sd, "encoder.purifier.6.layer6")
+        return
+
+    raise ValueError(f"Unsupported model '{model_name}' (supported: "
+                     "baseline, pemp_stage1, pemp_stage2)")
 
 
 def main():

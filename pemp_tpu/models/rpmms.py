@@ -54,17 +54,24 @@ def _l2norm(x, axis):
     return x / (1e-6 + jnp.linalg.norm(x, axis=axis, keepdims=True))
 
 
+def pmm_mu_init(rng, c, k):
+    """Random PMMs mu init: normal(0, sqrt(2/k)) l2-normalized over
+    channels (reference :41-44), shared across the batch. One init per
+    PMMs instance — fg and bg EM both start from it (reference :73,
+    :108-116: ``self.mu`` is reused by both ``get_prototype`` calls)."""
+    mu0 = jax.random.normal(rng, (1, c, k)) * math.sqrt(2.0 / k)
+    return _l2norm(mu0, axis=1)                              # [1, c, k]
+
+
 def pmm_em(rng, x, k, stage_num=10, kappa=20.0, mu0=None):
     """EM prototype estimation on features ``x`` [B, n, c] -> mu [B, k, c].
 
-    Random mu init: normal(0, sqrt(2/k)) l2-normalized over channels
-    (reference :42-43), shared across the batch, fresh per call.
-    ``mu0`` [1, c, k] overrides the random init (parity tests).
+    ``mu0`` [1, c, k] is the init (see ``pmm_mu_init``); ``rng`` is used
+    only when ``mu0`` is None.
     """
     b, n, c = x.shape
     if mu0 is None:
-        mu0 = jax.random.normal(rng, (1, c, k)) * math.sqrt(2.0 / k)
-        mu0 = _l2norm(mu0, axis=1)                           # [1, c, k]
+        mu0 = pmm_mu_init(rng, c, k)
     mu = jnp.broadcast_to(mu0, (b, c, k))
 
     x = lax.stop_gradient(x.astype(jnp.float32))
@@ -107,7 +114,10 @@ class RPMMs(nn.Module):
     @nn.compact
     def __call__(self, sup_img, sup_mask, qry_img,
                  out_hw: Optional[Tuple[int, int]] = None,
-                 train: bool = False):
+                 train: bool = False, mu_init=None):
+        """``mu_init``: optional per-scale mu inits ([1, c, k] each,
+        parity tests); defaults to fresh ``pmm`` rng draws per scale like
+        the reference's fresh ``PMMs`` instance per forward (:234)."""
         b, s, H, W, _ = sup_img.shape
         q = qry_img.shape[1]
         assert q == 1, "RPMMs protocol uses a single query image"
@@ -165,9 +175,12 @@ class RPMMs(nn.Module):
         pseudo = jnp.zeros((b, h, w, 2), jnp.float32)
         outs = []
         for idx, k in enumerate(self.num_pro_list):
-            rng = self.make_rng("pmm")
-            mu_f = pmm_em(jax.random.fold_in(rng, 0), sup_feat * m, k)
-            mu_b = pmm_em(jax.random.fold_in(rng, 1), sup_feat * (1.0 - m), k)
+            # one mu init per scale, SHARED by the fg and bg EM (the
+            # reference PMMs instance reuses self.mu for both)
+            mu0 = mu_init[idx] if mu_init is not None else \
+                pmm_mu_init(self.make_rng("pmm"), c, k)
+            mu_f = pmm_em(None, sup_feat * m, k, mu0=mu0)
+            mu_b = pmm_em(None, sup_feat * (1.0 - m), k, mu0=mu0)
             prob_map = pmm_prob_map(qry_feat, mu_f, mu_b)
 
             # sum over k of layer55(concat(query, tile(mu_f_k)))  (ref :237-244)

@@ -278,6 +278,311 @@ class TorchPEMPStage1(nn.Module):
         return torch.stack((bg_d, fg_d), dim=1)      # [BQ, 2, p, h, w]
 
 
+class TorchCaNet(nn.Module):
+    """Reference CaNet (canet.py:25-231): dense comparison + history-mask
+    residual refinement + ASPP; Dropout2d slots -> Identity (eval)."""
+
+    def __init__(self, use_history=True, num_classes=2):
+        super().__init__()
+        self.use_history = use_history
+        self.encoder = TorchResNet((3, 4, 6), ret_features=True)
+
+        def crd(inc, outc, k, pad, dil):
+            return nn.Sequential(
+                nn.Conv2d(inc, outc, k, padding=pad, dilation=dil,
+                          bias=True),
+                nn.ReLU(), nn.Identity())
+
+        self.layer5 = crd(512 + 1024, 256, 3, 2, 2)
+        self.layer55 = crd(512, 256, 3, 2, 2)
+        self.aspp_0 = crd(256, 256, 1, 0, 1)
+        self.aspp_1 = crd(256, 256, 1, 0, 1)
+        self.aspp_2 = crd(256, 256, 3, 6, 6)
+        self.aspp_3 = crd(256, 256, 3, 12, 12)
+        self.aspp_4 = crd(256, 256, 3, 18, 18)
+        self.layer6 = crd(1280, 256, 1, 0, 1)
+        res_in = 256 + 2 if use_history else 256
+
+        def res(inc):
+            return nn.Sequential(
+                nn.ReLU(), nn.Conv2d(inc, 256, 3, padding=1, bias=True),
+                nn.ReLU(), nn.Conv2d(256, 256, 3, padding=1, bias=True))
+
+        self.residual_1 = res(res_in)
+        self.residual_2 = res(256)
+        self.residual_3 = res(256)
+        self.layer7 = nn.Conv2d(256, num_classes, 1, bias=True)
+
+    def forward(self, sup_img, sup_mask, qry_img, history_mask,
+                out_shape=None):
+        B, S, channel, H, W = sup_img.size()
+        Q = qry_img.size(1)
+        img_cat = torch.cat((sup_img, qry_img), dim=1) \
+            .view(B * (S + Q), channel, H, W)
+        f1, f2, f3 = self.encoder(img_cat)
+
+        feat = self.layer5(torch.cat((f2, f3), dim=1))
+        _, c, h, w = feat.size()
+        feat = feat.view(B, S + Q, c, h, w)
+        sup_fts = feat[:, :S].reshape(B * S, c, h, w)
+        qry_fts = feat[:, S:].reshape(B * Q, c, h, w)
+
+        m = sup_mask[:, :, 0].view(B * S, 1, H, W)
+        m = F.interpolate(m, (h, w), mode="nearest")
+        z = (sup_fts * m).sum((2, 3)) / (m.sum((2, 3)) + 1e-5)
+        z = z.view(B, S, c).mean(dim=1)
+        z = z.view(B, 1, c, 1, 1).repeat(1, Q, 1, h, w) \
+            .view(B * Q, c, h, w)
+        out = self.layer55(torch.cat((qry_fts, z), dim=1))
+        out = self.res_aspp(out, history_mask)
+        out = self.layer7(out)
+        if out_shape is not False:
+            if out_shape is None:
+                out_shape = (H, W)
+            out = F.interpolate(out, out_shape, mode="bilinear",
+                                align_corners=True)
+        return out
+
+    def res_aspp(self, features, history_mask):
+        out = features
+        _, _, h, w = features.size()
+        history_mask = history_mask.view(-1, *history_mask.shape[-3:])
+        out_2 = torch.cat((out, history_mask), dim=1) \
+            if self.use_history else out
+        out = out + self.residual_1(out_2)
+        out = out + self.residual_2(out)
+        out = out + self.residual_3(out)
+        g = F.avg_pool2d(out, (h, w))
+        g = self.aspp_0(g).expand(-1, -1, h, w)
+        out = torch.cat((g, self.aspp_1(out), self.aspp_2(out),
+                         self.aspp_3(out), self.aspp_4(out)), dim=1)
+        return self.layer6(out)
+
+
+class TorchPMMs(nn.Module):
+    """Reference PMMs (rpmms.py:28-141) with an injectable mu init; the
+    SAME mu seeds both the fg and bg EM."""
+
+    def __init__(self, k, mu, stage_num=10, kappa=20.0):
+        super().__init__()
+        self.k, self.mu, self.stage_num, self.kappa = k, mu, stage_num, kappa
+
+    def _l2norm(self, x, dim):
+        return x / (1e-6 + x.norm(dim=dim, keepdim=True))
+
+    def em(self, x):
+        b = x.shape[0]
+        mu = self.mu.repeat(b, 1, 1)
+        with torch.no_grad():
+            for _ in range(self.stage_num):
+                z = self.kappa * torch.bmm(x.permute(0, 2, 1), mu)
+                z = F.softmax(z, dim=2)
+                z_ = z / (1e-6 + z.sum(dim=1, keepdim=True))
+                mu = self._l2norm(torch.bmm(x, z_), dim=1)
+        return mu.permute(0, 2, 1)                       # [b, k, c]
+
+    def forward(self, support_feature, support_mask, query_feature):
+        mask = F.interpolate(support_mask, support_feature.shape[-2:],
+                             mode="bilinear", align_corners=True)
+        b, c, h, w = support_feature.size()
+        mu_f = self.em((mask * support_feature).view(b, c, h * w))
+        mu_b = self.em(((1 - mask) * support_feature).view(b, c, h * w))
+        vec_pos = [mu_f[:, i, :].unsqueeze(2).unsqueeze(3)
+                   for i in range(self.k)]
+        # discriminative model (rpmms.py:119-141)
+        mu = torch.cat([mu_f, mu_b], dim=1).permute(0, 2, 1)
+        bq, c, h, w = query_feature.size()
+        x = query_feature.view(bq, c, h * w)
+        with torch.no_grad():
+            z = F.softmax(torch.bmm(x.permute(0, 2, 1), mu), dim=2)
+        P = z.permute(0, 2, 1).view(bq, self.k * 2, h, w)
+        p_f = P[:, :self.k].sum(dim=1, keepdim=True)
+        p_b = P[:, self.k:].sum(dim=1, keepdim=True)
+        return vec_pos, torch.cat([p_b, p_f], dim=1)
+
+
+class TorchRPMMs(nn.Module):
+    """Reference RPMMs (rpmms.py:144-287): residual 3-scale prototype
+    pyramid; Dropout2d slots -> Identity (eval)."""
+
+    def __init__(self, mu_inits):
+        super().__init__()
+        self.num_pro_list = (1, 3, 6)
+        self.mu_inits = mu_inits      # [1, 256, k] per scale
+        self.model_res = TorchResNet((3, 4, 6), ret_features=True)
+        self.layer5 = nn.Sequential(
+            nn.Conv2d(1536, 256, 3, padding=2, dilation=2, bias=True),
+            nn.BatchNorm2d(256), nn.ReLU())
+        self.layer55 = nn.Sequential(
+            nn.Conv2d(512, 256, 3, padding=2, dilation=2, bias=True),
+            nn.ReLU(), nn.Identity())
+        self.layer56 = nn.Sequential(
+            nn.Conv2d(258, 256, 3, padding=1, bias=True),
+            nn.ReLU(), nn.Identity())
+        self.layer6 = TorchASPP(256, 256, tail=False)
+        self.layer7 = nn.Sequential(
+            nn.Conv2d(1280, 256, 1, bias=True), nn.ReLU(), nn.Identity())
+        self.layer9 = nn.Conv2d(256, 2, 1, bias=True)
+
+        def res(inc):
+            return nn.Sequential(
+                nn.ReLU(), nn.Conv2d(inc, 256, 3, padding=1, bias=True),
+                nn.ReLU(), nn.Conv2d(256, 256, 3, padding=1, bias=True))
+
+        self.residule1 = res(258)
+        self.residule2 = res(256)
+        self.residule3 = res(256)
+
+    def extract_feature_res(self, rgb):
+        _, f2, f3 = self.model_res(rgb)
+        return self.layer5(torch.cat([f2, f3], dim=1))
+
+    def segmentation(self, feature, history_mask):
+        history_mask = F.interpolate(history_mask, feature.shape[-2:],
+                                     mode="bilinear", align_corners=True)
+        out = feature
+        out = out + self.residule1(torch.cat([feature, history_mask],
+                                             dim=1))
+        out = out + self.residule2(out)
+        out = out + self.residule3(out)
+        out = self.layer9(self.layer7(self.layer6(out)))
+        return out, F.softmax(out, dim=1)
+
+    def forward(self, sup_img, sup_mask, qry_img):
+        B, S, channel, H, W = sup_img.size()
+        Q = qry_img.size(1)
+        query_rgb = qry_img.view(B * Q, channel, H, W)
+        support_rgb = sup_img.view(B * S, channel, H, W)
+        support_mask = sup_mask.view(B * S, 2, H, W)[:, :1]
+        support_feature = self.extract_feature_res(support_rgb)
+        query_feature = self.extract_feature_res(query_rgb)
+        feature_size = query_feature.shape[-2:]
+
+        pseudo = torch.zeros(B, 2, *feature_size)
+        out_list = []
+        for num, mu in zip(self.num_pro_list, self.mu_inits):
+            pmms = TorchPMMs(num, mu)
+            vec_pos, prob_map = pmms(support_feature, support_mask,
+                                     query_feature)
+            feat = None
+            for vec in vec_pos:
+                x = self.layer55(torch.cat(
+                    [query_feature,
+                     vec.expand(-1, -1, *feature_size)], dim=1))
+                feat = x if feat is None else feat + x
+            feat = self.layer56(torch.cat([feat, prob_map], dim=1))
+            out, pseudo = self.segmentation(feat, pseudo)
+            out_list.append(out)
+        return tuple(out_list)
+
+
+def torch_vgg16(init=3, last_relu=False):
+    """Reference VGG16 trunk (backbones.py:372-405): pool4 stride 1,
+    conv5 dilation 2, lastRelu optional."""
+    layers = [
+        nn.Conv2d(init, 64, 3, padding=1), nn.ReLU(),
+        nn.Conv2d(64, 64, 3, padding=1), nn.ReLU(),
+        nn.MaxPool2d(3, 2, 1),
+        nn.Conv2d(64, 128, 3, padding=1), nn.ReLU(),
+        nn.Conv2d(128, 128, 3, padding=1), nn.ReLU(),
+        nn.MaxPool2d(3, 2, 1),
+        nn.Conv2d(128, 256, 3, padding=1), nn.ReLU(),
+        nn.Conv2d(256, 256, 3, padding=1), nn.ReLU(),
+        nn.Conv2d(256, 256, 3, padding=1), nn.ReLU(),
+        nn.MaxPool2d(3, 2, 1),
+        nn.Conv2d(256, 512, 3, padding=1), nn.ReLU(),
+        nn.Conv2d(512, 512, 3, padding=1), nn.ReLU(),
+        nn.Conv2d(512, 512, 3, padding=1), nn.ReLU(),
+        nn.MaxPool2d(3, 1, 1),
+        nn.Conv2d(512, 512, 3, padding=2, dilation=2), nn.ReLU(),
+        nn.Conv2d(512, 512, 3, padding=2, dilation=2), nn.ReLU(),
+        nn.Conv2d(512, 512, 3, padding=2, dilation=2),
+    ]
+    if last_relu:
+        layers.append(nn.ReLU())
+    return nn.Sequential(*layers)
+
+
+def vgg16_torchvision_sd(trunk):
+    """Export a torch_vgg16 trunk as a torchvision ``features.*`` state
+    dict (the layout our converter consumes)."""
+    conv_idx = [i for i, m in enumerate(trunk) if isinstance(m, nn.Conv2d)]
+    tv_idx = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    sd = {}
+    for tvi, i in zip(tv_idx, conv_idx):
+        sd[f"features.{tvi}.weight"] = trunk[i].weight.detach().numpy()
+        sd[f"features.{tvi}.bias"] = trunk[i].bias.detach().numpy()
+    return sd
+
+
+class TorchPANet(nn.Module):
+    """Reference PANet, VGG16 encoder (panet.py:38-194): baseline
+    prototypes from mask-size-upsampled support features + the prototype
+    alignment branch."""
+
+    def __init__(self, dist_scalar=20.0):
+        super().__init__()
+        self.encoder = torch_vgg16()
+        self.dist_scalar = dist_scalar
+
+    def forward(self, sup_img, sup_mask, qry_img, out_shape=None):
+        B, S, C, H, W = sup_img.size()
+        Q = qry_img.size(1)
+        img_cat = torch.cat((sup_img, qry_img), dim=1) \
+            .view(B * (S + Q), C, H, W)
+        features = self.encoder(img_cat)
+        _, c, h, w = features.size()
+        features = features.view(B, S + Q, c, h, w)
+        sup_fts = features[:, :S].reshape(B * S, c, h, w)
+        qry_fts = features[:, S:].reshape(B * Q, c, h, w)
+        sup_up = F.interpolate(sup_fts, (H, W), mode="bilinear",
+                               align_corners=True)
+        m = sup_mask.view(B * S, 2, H, W)
+        fg, bg = m.split(1, dim=1)
+        fg_v = (sup_up * fg).sum((2, 3)) / (fg.sum((2, 3)) + 1e-5)
+        bg_v = (sup_up * bg).sum((2, 3)) / (bg.sum((2, 3)) + 1e-5)
+        fg_proto = fg_v.view(B, S, -1).mean(1)
+        bg_proto = bg_v.view(B, S, -1).mean(1)
+
+        pred = self.compute_similarity(fg_proto, bg_proto, qry_fts)
+        if out_shape is None:
+            out_shape = (H, W)
+        output = F.interpolate(pred, out_shape, mode="bilinear",
+                               align_corners=True)
+        align_loss = self.align_loss(qry_fts, pred, sup_fts, fg, Q)
+        return output, align_loss
+
+    def compute_similarity(self, fg_proto, bg_proto, qry_fts):
+        if qry_fts.shape[0] // fg_proto.shape[0] != 1:
+            Q = qry_fts.shape[0] // fg_proto.shape[0]
+            B, c = fg_proto.size()
+            fg_proto = fg_proto.view(B, 1, c).expand(-1, Q, -1) \
+                .reshape(B * Q, c)
+            bg_proto = bg_proto.view(B, 1, c).expand(-1, Q, -1) \
+                .reshape(B * Q, c)
+        fg_d = F.cosine_similarity(
+            qry_fts, fg_proto[..., None, None], dim=1) * self.dist_scalar
+        bg_d = F.cosine_similarity(
+            qry_fts, bg_proto[..., None, None], dim=1) * self.dist_scalar
+        return torch.stack((bg_d, fg_d), dim=1)
+
+    def align_loss(self, qry_fts, pred, sup_fts, sup_mask_fg, Q):
+        """Reference alignLoss (panet.py:158-194)."""
+        B = qry_fts.size(0) // Q
+        c = qry_fts.size(1)
+        pred_mask = pred.argmax(dim=1, keepdim=True)
+        qfg = (pred_mask == 1).float()
+        qbg = (pred_mask == 0).float()
+        fg_p = (qry_fts * qfg).sum((2, 3)) / (qfg.sum((2, 3)) + 1e-5)
+        bg_p = (qry_fts * qbg).sum((2, 3)) / (qbg.sum((2, 3)) + 1e-5)
+        fg_p = fg_p.view(B, Q, c).mean(1)
+        bg_p = bg_p.view(B, Q, c).mean(1)
+        pred = self.compute_similarity(fg_p, bg_p, sup_fts)
+        out = F.interpolate(pred, sup_mask_fg.shape[-2:],
+                            mode="bilinear", align_corners=True)
+        return F.cross_entropy(out, sup_mask_fg.squeeze(1).long())
+
+
 class TorchResNetCM(nn.Module):
     """Reference ResNetCM (backbones.py:160-276): 3-stage dilated trunk
     with episode communication modules; the first block of every stage

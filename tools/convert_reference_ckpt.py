@@ -56,9 +56,45 @@ def convert_trained(model_name: str, backbone: str, sd, params, stats):
     """Map a reference full-model state_dict onto our param trees."""
     from pemp_tpu.utils import torch_convert as tc
 
-    prefix = "encoder.backbone."
+    # Backbone key prefixes differ per family: CaNet's encoder is the
+    # bare trunk ("encoder.conv1...", canet.py:54), RPMMs calls it
+    # "model_res" (rpmms.py:155), the PEMP family nests it
+    # ("encoder.backbone.conv1...").
+    prefix = {"canet": "encoder.",
+              "rpmms": "model_res."}.get(model_name, "encoder.backbone.")
     backbone_sd = {k[len(prefix):]: v for k, v in sd.items()
                    if k.startswith(prefix)}
+
+    if model_name == "rpmms":
+        tc.convert_resnet(backbone_sd, params, stats, "resnet50", stages=3)
+        # heads (reference rpmms.py:161-210): layer5 = Conv+BN+ReLU,
+        # layer55/56/7 = Conv+ReLU+Dropout, layer6 = ASPP(tail=False),
+        # residules at Sequential indices 1 / 3, layer9 = classifier
+        _conv(params, ("layer5_conv",), sd, "layer5.0")
+        _bn(params, stats, ("layer5_bn",), sd, "layer5.1")
+        _conv(params, ("layer55_conv",), sd, "layer55.0")
+        _conv(params, ("layer56_conv",), sd, "layer56.0")
+        for k in range(5):
+            _conv(params, ("layer6", f"aspp_{k}"), sd, f"layer6.aspp_{k}.0")
+        _conv(params, ("layer7_conv",), sd, "layer7.0")
+        _conv(params, ("layer9",), sd, "layer9")
+        for i in (1, 2, 3):
+            _conv(params, (f"residule{i}", "conv1"), sd, f"residule{i}.1")
+            _conv(params, (f"residule{i}", "conv2"), sd, f"residule{i}.3")
+        return
+
+    if model_name == "canet":
+        tc.convert_resnet(backbone_sd, params, stats, "resnet50", stages=3)
+        # heads: ConvReluDrop Sequentials with the conv at index 0
+        # (reference canet.py:60-101), residuals at indices 1 / 3 (:103-120)
+        for name in ("layer5", "layer55", "aspp_0", "aspp_1", "aspp_2",
+                     "aspp_3", "aspp_4", "layer6"):
+            _conv(params, (name, "conv"), sd, f"{name}.0")
+        for i in (1, 2, 3):
+            _conv(params, (f"residual_{i}", "conv1"), sd, f"residual_{i}.1")
+            _conv(params, (f"residual_{i}", "conv2"), sd, f"residual_{i}.3")
+        _conv(params, ("layer7",), sd, "layer7")
+        return
 
     if backbone == "vgg16":
         tc.convert_vgg16({k.replace("features.", "features."): v

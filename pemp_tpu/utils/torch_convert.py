@@ -144,9 +144,10 @@ def convert_resnet50v2(sd: Dict, params, batch_stats,
     """Deep-base ResNet-50 v2 (PFENet trunk): 3-conv stem + 4 stages."""
     bp, bs = params[prefix], batch_stats[prefix]
     for i in (1, 2, 3):
-        _set_conv({prefix: bp}, (prefix, f"stem_conv{i}"),
+        # trunk stems are list-attrs in flax -> names stem_convs_{i-1}
+        _set_conv({prefix: bp}, (prefix, f"stem_convs_{i - 1}"),
                   _t(sd[f"conv{i}.weight"]))
-        _set_bn({prefix: bp}, {prefix: bs}, (prefix, f"stem_bn{i}"),
+        _set_bn({prefix: bp}, {prefix: bs}, (prefix, f"stem_bns_{i - 1}"),
                 sd, f"bn{i}")
     for si, blocks in enumerate((3, 4, 6, 3), 1):
         for bi in range(blocks):

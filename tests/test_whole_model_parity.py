@@ -181,6 +181,54 @@ def test_rpmms_forward_parity():
         np.testing.assert_allclose(got_k, want_k, rtol=1e-3, atol=3e-4)
 
 
+def test_pfenet_forward_parity():
+    """PFENet: deep-base ResNet-v2 frozen trunk, masked layer-4 re-run,
+    training-free prior, enrichment pyramid with alpha convs and
+    per-scale aux heads (reference pfenet.py:52-287). Bins (8, 4, 3)
+    exercise both the upsampling and non-divisible adaptive-pool paths."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).parents[1] / "tools"))
+    from convert_reference_ckpt import convert_trained
+    from pemp_tpu.models.pfenet import PFENet
+
+    torch.manual_seed(5)
+    rng = np.random.RandomState(5)
+    bins = (8, 4, 3)
+    ref = tm.TorchPFENet(shot=1, pyramid_bins=bins)
+    tm.randomize_all_bns(ref, rng)
+    ref.eval()
+
+    sup_img, sup_mask, qry_img = episode(rng)
+    model = PFENet(shot=1, ppm_scales=bins)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(sup_img), jnp.asarray(sup_mask),
+                           jnp.asarray(qry_img), out_hw=(H, W))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    convert_trained("pfenet", "resnet50v2", to_numpy_sd(ref),
+                    params, stats)
+
+    with jax.default_matmul_precision("highest"):
+        ours, aux = model.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(sup_img), jnp.asarray(sup_mask),
+            jnp.asarray(qry_img), out_hw=(H, W), train=False)
+    ours = np.asarray(ours)
+
+    with torch.no_grad():
+        want, want_aux = ref(nchw(sup_img), nchw(sup_mask),
+                             nchw(qry_img))
+    want = want.view(B, Q, 2, H, W).permute(0, 1, 3, 4, 2).numpy()
+    np.testing.assert_allclose(ours, want, rtol=1e-3, atol=3e-4)
+
+    assert len(aux) == len(want_aux) == len(bins)
+    for got_a, want_a in zip(aux, want_aux):
+        want_a = want_a.view(B, Q, 2, H, W).permute(0, 1, 3, 4, 2).numpy()
+        np.testing.assert_allclose(np.asarray(got_a), want_a,
+                                   rtol=1e-3, atol=3e-4)
+
+
 def test_panet_vgg16_forward_and_align_loss_parity():
     """PANet: baseline prototypes + the prototype-alignment auxiliary
     loss (reference panet.py:85-194)."""

@@ -476,6 +476,212 @@ class TorchRPMMs(nn.Module):
         return tuple(out_list)
 
 
+class TorchBottleneckV2(nn.Module):
+    """torchvision-style bottleneck (pfe_resent.py:60-93): stride and
+    dilation on conv2."""
+
+    def __init__(self, inplanes, planes, stride=1, dilation=1,
+                 downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride=stride,
+                               padding=dilation, dilation=dilation,
+                               bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(planes * 4)
+        self.relu = nn.ReLU()
+        self.downsample = downsample
+
+    def forward(self, x):
+        r = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            r = self.downsample(x)
+        return self.relu(out + r)
+
+
+def _v2_layer(inplanes, planes, blocks, stride=1, dilation=1):
+    """pfe_resent _make_layer + the PFENet dilation surgery
+    (pfenet.py:68-77): stride folded into dilation for layers 3/4."""
+    downsample = None
+    if stride != 1 or inplanes != planes * 4 or dilation in (2, 4):
+        downsample = nn.Sequential(
+            nn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
+            nn.BatchNorm2d(planes * 4))
+    layers = [TorchBottleneckV2(inplanes, planes, stride, dilation,
+                                downsample)]
+    for _ in range(1, blocks):
+        layers.append(TorchBottleneckV2(planes * 4, planes,
+                                        dilation=dilation))
+    return nn.Sequential(*layers)
+
+
+class TorchPFENet(nn.Module):
+    """Reference PFENet (pfenet.py:52-287): deep-base ResNet-v2 frozen
+    trunk, training-free prior, feature enrichment pyramid. Dropout2d
+    slots -> Identity (eval); state_dict keys match a reference-trained
+    checkpoint (layer0.* stem grouping etc.)."""
+
+    def __init__(self, shot=1, pyramid_bins=(60, 30, 15, 8)):
+        super().__init__()
+        self.shot = shot
+        self.pyramid_bins = list(pyramid_bins)
+        # deep-base stem (pfe_resent.py:108-118) grouped like pfenet.py:64
+        self.layer0 = nn.Sequential(
+            nn.Conv2d(3, 64, 3, stride=2, padding=1, bias=False),
+            nn.BatchNorm2d(64), nn.ReLU(),
+            nn.Conv2d(64, 64, 3, padding=1, bias=False),
+            nn.BatchNorm2d(64), nn.ReLU(),
+            nn.Conv2d(64, 128, 3, padding=1, bias=False),
+            nn.BatchNorm2d(128), nn.ReLU(),
+            nn.MaxPool2d(3, 2, 1))
+        self.layer1 = _v2_layer(128, 64, 3)
+        self.layer2 = _v2_layer(256, 128, 4, stride=2)
+        self.layer3 = _v2_layer(512, 256, 6, stride=1, dilation=2)
+        self.layer4 = _v2_layer(1024, 512, 3, stride=1, dilation=4)
+
+        reduce_dim, fea_dim, classes = 256, 1024 + 512, 2
+        self.cls = nn.Sequential(
+            nn.Conv2d(reduce_dim, reduce_dim, 3, padding=1, bias=False),
+            nn.ReLU(), nn.Identity(),
+            nn.Conv2d(reduce_dim, classes, 1))
+        self.down_query = nn.Sequential(
+            nn.Conv2d(fea_dim, reduce_dim, 1, bias=False),
+            nn.ReLU(), nn.Identity())
+        self.down_supp = nn.Sequential(
+            nn.Conv2d(fea_dim, reduce_dim, 1, bias=False),
+            nn.ReLU(), nn.Identity())
+        self.init_merge = nn.ModuleList([
+            nn.Sequential(nn.Conv2d(reduce_dim * 2 + 1, reduce_dim, 1,
+                                    bias=False), nn.ReLU())
+            for _ in self.pyramid_bins])
+        self.beta_conv = nn.ModuleList([
+            nn.Sequential(
+                nn.Conv2d(reduce_dim, reduce_dim, 3, padding=1,
+                          bias=False), nn.ReLU(),
+                nn.Conv2d(reduce_dim, reduce_dim, 3, padding=1,
+                          bias=False), nn.ReLU())
+            for _ in self.pyramid_bins])
+        self.inner_cls = nn.ModuleList([
+            nn.Sequential(
+                nn.Conv2d(reduce_dim, reduce_dim, 3, padding=1,
+                          bias=False), nn.ReLU(), nn.Identity(),
+                nn.Conv2d(reduce_dim, classes, 1))
+            for _ in self.pyramid_bins])
+        self.res1 = nn.Sequential(
+            nn.Conv2d(reduce_dim * len(self.pyramid_bins), reduce_dim, 1,
+                      bias=False), nn.ReLU())
+        self.res2 = nn.Sequential(
+            nn.Conv2d(reduce_dim, reduce_dim, 3, padding=1, bias=False),
+            nn.ReLU(),
+            nn.Conv2d(reduce_dim, reduce_dim, 3, padding=1, bias=False),
+            nn.ReLU())
+        self.alpha_conv = nn.ModuleList([
+            nn.Sequential(nn.Conv2d(512, 256, 1, bias=False), nn.ReLU())
+            for _ in range(len(self.pyramid_bins) - 1)])
+
+    def forward(self, sup_img, sup_mask, qry_img):
+        """Eval forward returning (out, aux_outs) at query-feature res is
+        inconvenient — follow the reference and return input-res out plus
+        per-scale aux logits (the reference returns aux only in training;
+        the math is identical)."""
+        x = qry_img.squeeze(1)
+        s_x = sup_img
+        s_y = sup_mask[:, :, 0]
+        H, W = x.shape[-2:]
+
+        with torch.no_grad():
+            q0 = self.layer0(x)
+            q1 = self.layer1(q0)
+            q2 = self.layer2(q1)
+            q3 = self.layer3(q2)
+            q4 = self.layer4(q3)
+        query_feat = self.down_query(torch.cat([q3, q2], 1))
+
+        supp_feat_list, final_supp_list, mask_list = [], [], []
+        for i in range(self.shot):
+            mask = (s_y[:, i] == 1).float().unsqueeze(1)
+            mask_list.append(mask)
+            with torch.no_grad():
+                s0 = self.layer0(s_x[:, i])
+                s1 = self.layer1(s0)
+                s2 = self.layer2(s1)
+                s3 = self.layer3(s2)
+                m = F.interpolate(mask, size=s3.shape[-2:],
+                                  mode="bilinear", align_corners=True)
+                s4 = self.layer4(s3 * m)
+                final_supp_list.append(s4)
+            sf = self.down_supp(torch.cat([s3, s2], 1))
+            # Weighted_GAP (pfenet.py:15-20)
+            fh, fw = sf.shape[-2:]
+            area = F.avg_pool2d(m, (fh, fw)) * fh * fw + 0.0005
+            supp_feat_list.append(
+                F.avg_pool2d(sf * m, sf.shape[-2:]) * fh * fw / area)
+
+        cosine_eps = 1e-7
+        corr_list = []
+        for i, ts in enumerate(final_supp_list):
+            rs = ts.size(2)
+            tm = F.interpolate(mask_list[i], size=(rs, rs),
+                               mode="bilinear", align_corners=True)
+            s = ts * tm
+            bsz, ch, sp, _ = q4.size()
+            tq = q4.contiguous().view(bsz, ch, -1)
+            tqn = torch.norm(tq, 2, 1, True)
+            tsf = s.contiguous().view(bsz, ch, -1).permute(0, 2, 1)
+            tsn = torch.norm(tsf, 2, 2, True)
+            sim = torch.bmm(tsf, tq) / (torch.bmm(tsn, tqn) + cosine_eps)
+            sim = sim.max(1)[0].view(bsz, sp * sp)
+            sim = (sim - sim.min(1)[0].unsqueeze(1)) / (
+                sim.max(1)[0].unsqueeze(1)
+                - sim.min(1)[0].unsqueeze(1) + cosine_eps)
+            corr = sim.view(bsz, 1, sp, sp)
+            corr = F.interpolate(corr, size=q3.shape[-2:],
+                                 mode="bilinear", align_corners=True)
+            corr_list.append(corr)
+        corr_query_mask = torch.cat(corr_list, 1).mean(1).unsqueeze(1)
+        corr_query_mask = F.interpolate(
+            corr_query_mask, size=query_feat.shape[-2:], mode="bilinear",
+            align_corners=True)
+
+        supp_feat = supp_feat_list[0]
+        for i in range(1, len(supp_feat_list)):
+            supp_feat = supp_feat + supp_feat_list[i]
+        supp_feat = supp_feat / len(supp_feat_list)
+
+        out_list, pyr_list = [], []
+        for idx, bin_ in enumerate(self.pyramid_bins):
+            qb = F.adaptive_avg_pool2d(query_feat, bin_)
+            sb = supp_feat.expand(-1, -1, bin_, bin_)
+            cb = F.interpolate(corr_query_mask, size=(bin_, bin_),
+                               mode="bilinear", align_corners=True)
+            mb = self.init_merge[idx](torch.cat([qb, sb, cb], 1))
+            if idx >= 1:
+                pre = F.interpolate(pyr_list[idx - 1].clone(),
+                                    size=(bin_, bin_), mode="bilinear",
+                                    align_corners=True)
+                mb = self.alpha_conv[idx - 1](
+                    torch.cat([mb, pre], 1)) + mb
+            mb = self.beta_conv[idx](mb) + mb
+            out_list.append(self.inner_cls[idx](mb))
+            pyr_list.append(F.interpolate(
+                mb, size=query_feat.shape[-2:], mode="bilinear",
+                align_corners=True))
+
+        qf = self.res1(torch.cat(pyr_list, 1))
+        qf = self.res2(qf) + qf
+        out = self.cls(qf)
+        out = F.interpolate(out, size=(H, W), mode="bilinear",
+                            align_corners=True)
+        aux = [F.interpolate(o, size=(H, W), mode="bilinear",
+                             align_corners=True) for o in out_list]
+        return out, aux
+
+
 def torch_vgg16(init=3, last_relu=False):
     """Reference VGG16 trunk (backbones.py:372-405): pool4 stride 1,
     conv5 dilation 2, lastRelu optional."""

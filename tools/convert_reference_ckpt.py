@@ -56,6 +56,50 @@ def convert_trained(model_name: str, backbone: str, sd, params, stats):
     """Map a reference full-model state_dict onto our param trees."""
     from pemp_tpu.utils import torch_convert as tc
 
+    if model_name == "pfenet":
+        # the trunk is re-grouped in the checkpoint (pfenet.py:64-66):
+        # layer0 = Sequential(conv1, bn1, relu, conv2, bn2, relu, conv3,
+        # bn3, relu, maxpool); layers 1-4 keep pfe_resent block names
+        for j, (ci, bi_) in enumerate(((0, 1), (3, 4), (6, 7))):
+            _conv(params, ("backbone", f"stem_convs_{j}"),
+                  sd, f"layer0.{ci}")
+            _bn(params, stats, ("backbone", f"stem_bns_{j}"),
+                sd, f"layer0.{bi_}")
+        for si, nb in ((1, 3), (2, 4), (3, 6), (4, 3)):
+            for bi in range(nb):
+                tk, ours = f"layer{si}.{bi}", f"layer{si}_{bi}"
+                for ci in (1, 2, 3):
+                    _conv(params, ("backbone", ours, f"conv{ci}"),
+                          sd, f"{tk}.conv{ci}")
+                    _bn(params, stats, ("backbone", ours, f"bn{ci}"),
+                        sd, f"{tk}.bn{ci}")
+                if f"{tk}.downsample.0.weight" in sd:
+                    _conv(params, ("backbone", ours, "downsample_conv"),
+                          sd, f"{tk}.downsample.0")
+                    _bn(params, stats, ("backbone", ours, "downsample_bn"),
+                        sd, f"{tk}.downsample.1")
+        _conv(params, ("down_query_conv",), sd, "down_query.0")
+        _conv(params, ("down_supp_conv",), sd, "down_supp.0")
+        n_bins = len({k.split(".")[1] for k in sd
+                      if k.startswith("init_merge.")})
+        for i in range(n_bins):
+            _conv(params, (f"init_merge_{i}",), sd, f"init_merge.{i}.0")
+            _conv(params, (f"beta_conv_{i}_0",), sd, f"beta_conv.{i}.0")
+            _conv(params, (f"beta_conv_{i}_1",), sd, f"beta_conv.{i}.2")
+            _conv(params, (f"inner_cls_{i}", "conv"), sd,
+                  f"inner_cls.{i}.0")
+            _conv(params, (f"inner_cls_{i}", "cls"), sd,
+                  f"inner_cls.{i}.3")
+            if i:
+                _conv(params, (f"alpha_conv_{i - 1}",), sd,
+                      f"alpha_conv.{i - 1}.0")
+        _conv(params, ("res1",), sd, "res1.0")
+        _conv(params, ("res2_0",), sd, "res2.0")
+        _conv(params, ("res2_1",), sd, "res2.2")
+        _conv(params, ("cls", "conv"), sd, "cls.0")
+        _conv(params, ("cls", "cls"), sd, "cls.3")
+        return
+
     # Backbone key prefixes differ per family: CaNet's encoder is the
     # bare trunk ("encoder.conv1...", canet.py:54), RPMMs calls it
     # "model_res" (rpmms.py:155), the PEMP family nests it

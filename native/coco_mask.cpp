@@ -77,35 +77,28 @@ int poly_to_rle(const double* xy, int k, int h, int w,
     x[k] = x[0];
     y[k] = y[0];
 
-    // dense boundary points along every edge
+    // dense boundary points along every edge, emitted in the edge's
+    // ORIGINAL direction (the flip/t indexing): the downsampling step
+    // below reads consecutive pairs, so walk order is semantic
     std::vector<long> u, v;
     for (int j = 0; j < k; j++) {
         long xs = x[j], xe = x[j + 1], ys = y[j], ye = y[j + 1];
         long dx = std::labs(xe - xs), dy = std::labs(ys - ye);
-        bool flip;
-        double s;
-        long t_max = std::max(dx, dy);
+        bool flip = (dx >= dy && xs > xe) || (dx < dy && ys > ye);
+        if (flip) { std::swap(xs, xe); std::swap(ys, ye); }
         if (dx >= dy) {
-            flip = xe < xs;
-            if (flip) { std::swap(xs, xe); std::swap(ys, ye); }
-            s = dx == 0 ? 0 : (double)(ye - ys) / (double)dx;
-            for (long d = 0; d <= t_max; d++) {
-                long uu = xs + d;
-                long vv = (long)(ys + s * d + 0.5);
-                if (flip) uu = xs + dx - d, vv = (long)(ye + s * (dx - (uu - xs)) + .5);
-                u.push_back(uu);
-                v.push_back(vv);
+            double s = dx == 0 ? 0 : (double)(ye - ys) / (double)dx;
+            for (long d = 0; d <= dx; d++) {
+                long t = flip ? dx - d : d;
+                u.push_back(t + xs);
+                v.push_back((long)(ys + s * (double)t + 0.5));
             }
         } else {
-            flip = ye < ys;
-            if (flip) { std::swap(xs, xe); std::swap(ys, ye); }
-            s = dy == 0 ? 0 : (double)(xe - xs) / (double)dy;
-            for (long d = 0; d <= t_max; d++) {
-                long vv = ys + d;
-                long uu = (long)(xs + s * d + 0.5);
-                if (flip) vv = ys + dy - d, uu = (long)(xe + s * (dy - (vv - ys)) + .5);
-                u.push_back(uu);
-                v.push_back(vv);
+            double s = dy == 0 ? 0 : (double)(xe - xs) / (double)dy;
+            for (long d = 0; d <= dy; d++) {
+                long t = flip ? dy - d : d;
+                v.push_back(t + ys);
+                u.push_back((long)(xs + s * (double)t + 0.5));
             }
         }
     }

@@ -91,25 +91,85 @@ def _rle_decode_np(counts: np.ndarray, h: int, w: int) -> np.ndarray:
     return flat.reshape(w, h).T     # column-major -> [h, w]
 
 
+def _rle_from_poly_np(xy: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Exact official polygon rasterization (the 5x-upsampled boundary
+    walk), bit-matching the native implementation: vertices scaled 5x and
+    rounded, a dense integer walk along every edge in its original
+    direction, column transitions downsampled to pixel-grid crossings,
+    sort + parity -> alternating column-major run lengths."""
+    import math
+
+    k = len(xy) // 2
+    scale = 5.0
+    x = [int(scale * xy[2 * j] + 0.5) for j in range(k)]
+    y = [int(scale * xy[2 * j + 1] + 0.5) for j in range(k)]
+    x.append(x[0])
+    y.append(y[0])
+
+    u: List[int] = []
+    v: List[int] = []
+    for j in range(k):
+        xs, xe, ys, ye = x[j], x[j + 1], y[j], y[j + 1]
+        dx, dy = abs(xe - xs), abs(ys - ye)
+        flip = (dx >= dy and xs > xe) or (dx < dy and ys > ye)
+        if flip:
+            xs, xe = xe, xs
+            ys, ye = ye, ys
+        if dx >= dy:
+            s = (ye - ys) / dx if dx else 0.0
+            for d in range(dx + 1):
+                t = dx - d if flip else d
+                u.append(t + xs)
+                v.append(int(ys + s * t + 0.5))
+        else:
+            s = (xe - xs) / dy if dy else 0.0
+            for d in range(dy + 1):
+                t = dy - d if flip else d
+                v.append(t + ys)
+                u.append(int(xs + s * t + 0.5))
+
+    pos: List[int] = []
+    for j in range(1, len(u)):
+        if u[j] == u[j - 1]:
+            continue
+        xd = float(u[j] if u[j] < u[j - 1] else u[j] - 1)
+        xd = (xd + 0.5) / scale - 0.5
+        if math.floor(xd) != xd or xd < 0 or xd > w - 1:
+            continue
+        yd = float(v[j] if v[j] < v[j - 1] else v[j - 1])
+        yd = (yd + 0.5) / scale - 0.5
+        yd = min(max(yd, 0.0), float(h))
+        pos.append(int(xd) * h + int(math.ceil(yd)))
+
+    a = sorted(pos)
+    a.append(h * w)
+    deltas = []
+    p = 0
+    for t in a:
+        deltas.append(t - p)
+        p = t
+    b = [deltas[0]]
+    j = 1
+    while j < len(deltas):
+        if deltas[j] > 0:
+            b.append(deltas[j])
+            j += 1
+        else:
+            j += 1
+            if j < len(deltas):
+                b[-1] += deltas[j]
+                j += 1
+    return np.asarray(b, np.uint32)
+
+
 def _polys_to_mask_np(polys: List[np.ndarray], h: int, w: int) -> np.ndarray:
-    """Scanline even-odd fallback (may differ from COCO on boundary px)."""
+    """Fallback: union of exact per-ring rasterizations (bit-matches the
+    native path; validated in tests/test_coco_rasterizer_golden.py)."""
     mask = np.zeros((h, w), np.uint8)
-    yy = np.arange(h) + 0.5
     for poly in polys:
-        pts = np.asarray(poly, np.float64).reshape(-1, 2)
-        x0, y0 = pts[:, 0], pts[:, 1]
-        x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
-        for yi, yc in enumerate(yy):
-            cross = ((y0 <= yc) & (y1 > yc)) | ((y1 <= yc) & (y0 > yc))
-            if not cross.any():
-                continue
-            t = (yc - y0[cross]) / (y1[cross] - y0[cross])
-            xs = np.sort(x0[cross] + t * (x1[cross] - x0[cross]))
-            for a, b in zip(xs[0::2], xs[1::2]):
-                lo = max(0, int(np.ceil(a - 0.5)))
-                hi = min(w, int(np.floor(b - 0.5)) + 1)
-                if hi > lo:
-                    mask[yi, lo:hi] = 1
+        mask |= _rle_decode_np(
+            _rle_from_poly_np(np.asarray(poly, np.float64).ravel(), h, w),
+            h, w)
     return mask
 
 

@@ -59,7 +59,10 @@ class DataConfig:
     height: int = 401
     width: int = 401
     bs: int = 4
-    test_bs: int = 1                    # eval protocol requires 1 (variable-size GT)
+    test_bs: int = 1                    # >1 uses the bucketed on-device
+                                        # eval (exact; lifts the
+                                        # reference's test_bs=1 protocol
+                                        # constraint on TPU)
     train_n: int = 5000                 # episodes per training epoch
     test_n: int = 1000                  # episodes per eval round
     seed: int = 1234
@@ -68,6 +71,8 @@ class DataConfig:
     cache: bool = True                  # cache decoded images in host RAM
     num_workers: int = 4                # host decode worker threads
     base_dir: str = ""                  # dataset root (resolved per dataset)
+    var_gt: bool = False                # SYNTH only: emulate PASCAL's
+                                        # variable-size test-time query GT
 
 
 @dataclass

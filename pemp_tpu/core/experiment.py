@@ -169,6 +169,79 @@ class EntryRuntime:
                 batch, shard, self.cfg.tpu.compact_wire))
         return step
 
+    def make_bucketed_eval_step(self):
+        """Batched fully-on-device eval for VARIABLE-size query GT —
+        lifts the reference's test_bs=1 protocol constraint (reference
+        data_kits/pascal_voc.py:229 forces bs=1 because each query GT
+        keeps its original resolution).
+
+        Each episode's exact ``align_corners`` resize to its own GT size
+        is a pair of per-episode interpolation matmuls whose matrices are
+        zero-padded to a bucketed [Hm, Wm] (static shapes for XLA; a few
+        bucket sizes -> a few compilations). Padded label pixels are 255,
+        which both the TP/FP/FN counts and the CE ignore, so the metrics
+        are exactly the host path's (tests/test_bucketed_eval.py)."""
+        from pemp_tpu.core.losses import per_episode_cross_entropy
+        from pemp_tpu.core.metrics import tp_fp_fn
+        from pemp_tpu.ops.resize import _interp_matrix
+        from pemp_tpu.parallel.step import unpack_batch
+
+        hi = jax.lax.Precision.HIGHEST
+
+        def full(variables, wire_batch, rh, rw, labels):
+            batch = unpack_batch(wire_batch)
+            logits = self.apply_eval(variables, batch)      # [B,Q,h,w,2]
+            logits = logits.astype(jnp.float32)
+            up = jnp.einsum("bHh,bqhwc->bqHwc", rh, logits, precision=hi)
+            up = jnp.einsum("bWw,bqHwc->bqHWc", rw, up, precision=hi)
+            b = up.shape[0]
+            losses = per_episode_cross_entropy(
+                up.reshape(b, -1, 2), labels.reshape(b, -1))
+            pred = jnp.argmax(up, axis=-1).astype(jnp.int32)
+            counts = jax.vmap(jax.vmap(tp_fp_fn))(pred, labels).sum(axis=1)
+            return counts, losses
+
+        jit_full = jax.jit(full)
+        shard = (mesh_lib.batch_sharding(self.mesh)
+                 if self.mesh is not None else None)
+        mats: Dict = {}
+        feat_hw: Dict = {}
+
+        def bucket(n, step=64):
+            return -(-n // step) * step
+
+        def step(batch):
+            labels = [np.asarray(q) for q in batch["qry_msk"]]
+            labels = [q.reshape((-1,) + q.shape[-2:]) for q in labels]
+            b, nq = len(labels), labels[0].shape[0]
+            wire = device_batch(batch, shard, self.cfg.tpu.compact_wire)
+
+            sig = tuple(batch["qry_rgb"].shape)
+            if sig not in feat_hw:                 # shapes only, no FLOPs
+                out = jax.eval_shape(
+                    lambda v, wb: self.apply_eval(v, unpack_batch(wb)),
+                    self._variables, wire)
+                feat_hw[sig] = out.shape[2:4]
+            h, w = feat_hw[sig]
+
+            hm = bucket(max(q.shape[-2] for q in labels))
+            wm = bucket(max(q.shape[-1] for q in labels))
+            rh = np.zeros((b, hm, h), np.float32)
+            rw = np.zeros((b, wm, w), np.float32)
+            lab = np.full((b, nq, hm, wm), 255, np.int32)
+            for i, q in enumerate(labels):
+                hh, ww = q.shape[-2:]
+                kh = mats.setdefault((hh, h), _interp_matrix(h, hh))
+                kw = mats.setdefault((ww, w), _interp_matrix(w, ww))
+                rh[i, :hh] = kh
+                rw[i, :ww] = kw
+                lab[i, :, :hh, :ww] = q
+            put = (lambda a: jax.device_put(a, shard)) \
+                if shard is not None else jnp.asarray
+            return jit_full(self._variables, wire,
+                            put(rh), put(rw), put(lab))
+        return step
+
     # ---------------- commands ------------------------------------------
     def train(self):
         cfg, run = self.cfg, self.run
@@ -219,6 +292,7 @@ class EntryRuntime:
         evaluator.eval_step = live_eval_step
         if self.supports_fast_eval:
             raw_fast = self.make_fast_eval_step()
+            raw_bucket = self.make_bucketed_eval_step()
 
             def live_fast_step(batch):
                 self._variables = {
@@ -226,7 +300,14 @@ class EntryRuntime:
                     "batch_stats": trainer_self.state.batch_stats}
                 return raw_fast(batch)
 
+            def live_bucket_step(batch):
+                self._variables = {
+                    "params": trainer_self.state.params,
+                    "batch_stats": trainer_self.state.batch_stats}
+                return raw_bucket(batch)
+
             evaluator.fast_step = live_fast_step
+            evaluator.bucket_step = live_bucket_step
 
         self.logger.info("Start training.")
         trainer.start_training_loop(train_ds, train_loader, evaluator,
@@ -255,6 +336,7 @@ class EntryRuntime:
         evaluator.eval_step = lambda batch: self._raw_eval_step(batch)
         if self.supports_fast_eval:
             evaluator.fast_step = self.make_fast_eval_step()
+            evaluator.bucket_step = self.make_bucketed_eval_step()
         self.logger.info("Start testing.")
         loss, miou, biou = evaluator.start_eval_loop(
             test_ds, test_loader, num_classes)

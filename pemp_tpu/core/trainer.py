@@ -71,6 +71,10 @@ class Evaluator:
         # optional fully-on-device path for fixed-size GT (set by the
         # entry runtime): batch -> (counts [B,2,3], losses [B])
         self.fast_step = None
+        # optional batched on-device path for VARIABLE-size GT at
+        # test_bs>1 (padded per-episode resize matmuls); bs=1 keeps the
+        # host-exact path as the oracle
+        self.bucket_step = None
         self.val_labels = list(val_labels)
         self.logger = loggers.get_global_logger(logger_name)
 
@@ -121,11 +125,18 @@ class Evaluator:
             inner = Accumulator(loss=[])
             dataset.sample_tasks()
             for batch in loader:
-                n_episodes += len(np.atleast_1d(np.asarray(batch["cls"])))
+                bs = len(np.atleast_1d(np.asarray(batch["cls"])))
+                n_episodes += bs
                 with timer.start():
                     if self.fast_step is not None \
                             and self._fixed_size(batch):
                         counts, losses = self.fast_step(batch)
+                        fs_metric.update_counts(
+                            np.asarray(jax.device_get(counts)),
+                            batch["cls"])
+                        loss = float(np.mean(jax.device_get(losses)))
+                    elif self.bucket_step is not None and bs > 1:
+                        counts, losses = self.bucket_step(batch)
                         fs_metric.update_counts(
                             np.asarray(jax.device_get(counts)),
                             batch["cls"])

@@ -71,19 +71,19 @@ class SyntheticDataset:
     # --- episode generation --------------------------------------------
     _render_cache = {}
 
-    def _render(self, name: str):
+    def _render(self, name: str, size=None):
         """Deterministic image + blob mask for a sample name (cached —
         the render is a pure function of the name and size)."""
-        key = (name, self.height, self.width)
+        h, w = size if size is not None else (self.height, self.width)
+        key = (name, h, w)
         if self.cfg.data.cache and key in self._render_cache:
             return self._render_cache[key]
-        out = self._render_uncached(name)
+        out = self._render_uncached(name, h, w)
         if self.cfg.data.cache:
             self._render_cache[key] = out
         return out
 
-    def _render_uncached(self, name: str):
-        h, w = self.height, self.width
+    def _render_uncached(self, name: str, h: int, w: int):
         # zlib.crc32 is stable across processes (python str hash is salted)
         import zlib
         rng = np.random.RandomState(zlib.crc32(name.encode()) % (2 ** 31))
@@ -106,9 +106,19 @@ class SyntheticDataset:
             sup_rgb.append(img)
             sup_mask.append(np.stack([m, 1.0 - m], axis=-1))
         qry_rgb, qry_msk = [], []
+        # data.var_gt emulates the PASCAL test protocol: the query image
+        # is resized to the input size but its GT stays at the ORIGINAL
+        # per-sample resolution (reference data_kits/pascal_voc.py:229)
+        var_gt = self.cfg.data.var_gt and not self.train
         for n in qry_names:
             img, m = self._render(n)
             qry_rgb.append(img)
+            if var_gt:
+                import zlib
+                crc = zlib.crc32(n.encode())
+                oh = self.height + 1 + crc % 17
+                ow = self.width + 1 + crc % 23
+                m = self._render(n, size=(oh, ow))[1]
             qry_msk.append(m.astype(np.int32))
 
         ep = {

@@ -13,10 +13,12 @@ Usage:
 """
 
 import argparse
+import os
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parents[1]))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import numpy as np
 
@@ -201,10 +203,31 @@ def convert_trained(model_name: str, backbone: str, sd, params, stats):
                      "baseline, pemp_stage1, pemp_stage2)")
 
 
+def _build_model(name: str, backbone: str, shot: int):
+    if name == "baseline":
+        from pemp_tpu.models.baseline import Baseline
+        return Baseline(backbone=backbone)
+    if name == "pemp_stage1":
+        from pemp_tpu.models.pemp_stage1 import PEMPStage1
+        return PEMPStage1(backbone=backbone)
+    if name == "pemp_stage2":
+        from pemp_tpu.models.pemp_stage2 import PEMPStage2
+        return PEMPStage2(backbone=backbone, spq=shot + 1)
+    if name == "canet":
+        from pemp_tpu.models.canet import CaNet
+        return CaNet()
+    if name == "rpmms":
+        from pemp_tpu.models.rpmms import RPMMs
+        return RPMMs()
+    from pemp_tpu.models.pfenet import PFENet
+    return PFENet(shot=shot)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True,
-                    choices=["baseline", "pemp_stage1"])
+                    choices=["baseline", "pemp_stage1", "pemp_stage2",
+                             "canet", "rpmms", "pfenet"])
     ap.add_argument("--backbone", default="resnet50")
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--out", required=True)
@@ -216,19 +239,23 @@ def main():
     from pemp_tpu.core import checkpoint as ckpt_lib
     from pemp_tpu.utils.torch_convert import load_state_dict
 
-    if args.model == "baseline":
-        from pemp_tpu.models.baseline import Baseline
-        model = Baseline(backbone=args.backbone)
-    else:
-        from pemp_tpu.models.pemp_stage1 import PEMPStage1
-        model = PEMPStage1(backbone=args.backbone)
+    model = _build_model(args.model, args.backbone, args.shot)
 
-    hw = 33
-    variables = jax.jit(lambda r, *a: model.init(r, *a))(
-        {"params": jax.random.PRNGKey(0)},
-        jnp.zeros((1, args.shot, hw, hw, 3)),
-        jnp.zeros((1, args.shot, hw, hw, 2)),
-        jnp.zeros((1, 1, hw, hw, 3)))
+    hw = 41 if args.model == "pfenet" else 33   # pfenet needs (hw-1)%8==0
+    inputs = [jnp.zeros((1, args.shot, hw, hw, 3)),
+              jnp.zeros((1, args.shot, hw, hw, 2)),
+              jnp.zeros((1, 1, hw, hw, 3))]
+    rngs = {"params": jax.random.PRNGKey(0)}
+    kwargs = {}
+    if args.model == "pemp_stage2":
+        inputs.append(jnp.zeros((1, 1, hw, hw)))        # qry_prior
+    elif args.model == "canet":
+        inputs.append(jnp.zeros((1, 1, -(-hw // 8), -(-hw // 8), 2)))
+    elif args.model == "rpmms":
+        rngs["pmm"] = jax.random.PRNGKey(1)
+        kwargs["out_hw"] = None
+    variables = jax.jit(
+        lambda r, *a: model.init(r, *a, **kwargs))(rngs, *inputs)
     params = jax.tree_util.tree_map(np.asarray, variables["params"])
     stats = jax.tree_util.tree_map(
         np.asarray, variables.get("batch_stats", {}))

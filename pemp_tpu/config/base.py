@@ -35,6 +35,10 @@ class GlobalConfig:
     model_dir: str = "model_dir"        # root dir for checkpoints
     fileStorage: bool = True            # record runs into model_dir/<tag>/<id>
     log_file: bool = True               # also write the console log to a file
+    mongodb: bool = False               # Omniboard/Mongo-compatible sink
+    #                                     (reference config.py:18; falls back
+    #                                     to mongoimport-ready JSON files)
+    mongo_port: int = 7000              # reference config.py:19
 
 
 @dataclass

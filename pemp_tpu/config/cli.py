@@ -35,12 +35,19 @@ class Run:
         self._id = run_id
         self.run_dir = run_dir
         self._scalars: Dict[str, List] = {}
+        self.observers: List = []   # e.g. observers.MongoRunObserver
 
     def log_scalar(self, name: str, value: float, step: int) -> None:
         self._scalars.setdefault(name, []).append([step, float(value)])
         if self.run_dir is not None:
             with open(self.run_dir / "metrics.json", "w") as f:
                 json.dump(self._scalars, f)
+        for obs in self.observers:
+            obs.log_scalar(name, value, step)
+
+    def finish(self, status: str = "COMPLETED", result=None) -> None:
+        for obs in self.observers:
+            obs.finish(status, result)
 
 
 def _next_run_id(tag_dir: Path) -> int:
@@ -92,7 +99,11 @@ class Experiment:
                 json.dump({k: repr(v) for k, v in flatten_config(cfg).items()},
                           f, indent=2)
             self._snapshot_sources(run_dir)
-        return cfg, Run(run_id, run_dir)
+        run = Run(run_id, run_dir)
+        if command in ("train", "test"):
+            from pemp_tpu.utils.observers import maybe_attach
+            maybe_attach(run, cfg, self.name, command)
+        return cfg, run
 
     def _snapshot_sources(self, run_dir: Path) -> None:
         """Copy the entry script + git revision into the run dir
@@ -149,4 +160,13 @@ class Experiment:
             observed = observed and jax.process_index() == 0
 
         cfg, run = self.assemble(command, overrides, observed=observed)
-        return self.commands[command](cfg, run)
+        try:
+            result = self.commands[command](cfg, run)
+        except KeyboardInterrupt:
+            run.finish("INTERRUPTED")
+            raise
+        except Exception:
+            run.finish("FAILED")
+            raise
+        run.finish("COMPLETED", result)
+        return result

@@ -43,13 +43,14 @@ class EntryRuntime:
         self.loss_obj = loss_lib.get(cfg)
         self.mesh = (mesh_lib.data_mesh(cfg.tpu.mesh)
                      if cfg.tpu.mesh > 1 else None)
-        # eval-time model: identical params, fused Pallas kernels enabled
-        # when the model supports them and we're on TPU (forward-only)
-        self.eval_model = self.model
+        # fused Pallas kernels on TPU for BOTH steps: eval runs the raw
+        # forward kernels, the train step differentiates through the
+        # custom-VJP wrappers (pemp_tpu/ops/pallas/mpm_vjp.py)
         if cfg.tpu.use_pallas and hasattr(self.model, "use_pallas"):
             from pemp_tpu.ops.pallas.mpm import pallas_available
             if pallas_available():
-                self.eval_model = self.model.clone(use_pallas=True)
+                self.model = self.model.clone(use_pallas=True)
+        self.eval_model = self.model
 
     # ---------------- hooks (override per model) -----------------------
     def example_inputs(self, hw: int) -> Tuple:

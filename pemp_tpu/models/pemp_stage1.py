@@ -58,18 +58,28 @@ def mpm_predict(sup_fts, qry_fts, sup_fg, sup_bg, ctr, protos, dist_scalar,
     reference :223-228).
 
     ``use_pallas=True`` runs the fused TPU kernels
-    (pemp_tpu/ops/pallas/mpm.py, bit-matching the jnp path) — forward
-    only, so it's enabled on the eval step, not under autodiff.
+    (pemp_tpu/ops/pallas/mpm.py, bit-matching the jnp path). The
+    ``ret_ind=False`` path goes through the custom-VJP wrappers
+    (ops/pallas/mpm_vjp.py) so the kernels also serve the training
+    step under autodiff; ``ret_ind=True`` (visualize) stays on the
+    raw forward kernels.
     """
     if ctr is not None:
         if use_pallas:
-            from pemp_tpu.ops.pallas.mpm import (
-                meta_prototype_assign_pallas, prototype_match_pallas)
-            fg_proto, bg_proto = meta_prototype_assign_pallas(
+            if ret_ind:
+                from pemp_tpu.ops.pallas.mpm import (
+                    meta_prototype_assign_pallas, prototype_match_pallas)
+                fg_proto, bg_proto = meta_prototype_assign_pallas(
+                    sup_fts, sup_fg, sup_bg, ctr, protos)
+                return prototype_match_pallas(qry_fts, fg_proto, bg_proto,
+                                              dist_scalar,
+                                              return_indices=True)
+            from pemp_tpu.ops.pallas.mpm_vjp import (
+                meta_prototype_assign_fused, prototype_match_fused)
+            fg_proto, bg_proto = meta_prototype_assign_fused(
                 sup_fts, sup_fg, sup_bg, ctr, protos)
-            return prototype_match_pallas(qry_fts, fg_proto, bg_proto,
-                                          dist_scalar,
-                                          return_indices=ret_ind)
+            return prototype_match_fused(qry_fts, fg_proto, bg_proto,
+                                         dist_scalar)
         fg_proto, bg_proto = meta_prototype_assign(
             sup_fts, sup_fg, sup_bg, ctr, protos)
         return prototype_predictions(qry_fts, fg_proto, bg_proto,
@@ -97,7 +107,7 @@ class PEMPStage1(nn.Module):
     block_size: int = 4
     dist_scalar: float = 20.0
     dtype: Dtype = jnp.float32
-    use_pallas: bool = False    # fused TPU kernels (eval/forward only)
+    use_pallas: bool = False    # fused TPU kernels (train via custom VJP)
 
     FROZEN = {"vgg16": [], "resnet50": [r"backbone/.*bn"],
               "resnet101": [r"backbone/.*bn"]}
@@ -142,7 +152,7 @@ class PEMPStage1(nn.Module):
             ctr = None
         out = mpm_predict(sup_fts, qry_fts, sup_fg, sup_bg, ctr,
                           self.protos, self.dist_scalar, ret_ind=ret_ind,
-                          use_pallas=self.use_pallas and not train)
+                          use_pallas=self.use_pallas)
 
         if ret_ind:
             logits, indices = out

@@ -37,7 +37,7 @@ class PEMPStage2(nn.Module):
     dist_scalar: float = 20.0
     spq: int = 2                    # shot + query images per episode
     dtype: Dtype = jnp.float32
-    use_pallas: bool = False        # fused TPU kernels (eval/forward only)
+    use_pallas: bool = False        # fused TPU kernels (train via custom VJP)
 
     FROZEN = {"vgg16": [], "resnet50": [r"backbone/.*bn"],
               "resnet101": [r"backbone/.*bn"]}
@@ -90,7 +90,7 @@ class PEMPStage2(nn.Module):
             ctr = None
         out = mpm_predict(sup_fts, qry_fts, sup_fg, sup_bg, ctr,
                           self.protos, self.dist_scalar, ret_ind=ret_ind,
-                          use_pallas=self.use_pallas and not train)
+                          use_pallas=self.use_pallas)
 
         if ret_ind:
             logits, indices = out

@@ -1,0 +1,188 @@
+"""Custom-VJP wrappers that put the fused Pallas MPM kernels on the
+TRAINING path (reference hot loop: networks/pemp_stage1.py:201-215 runs
+under autograd every step).
+
+Design: the forward pass is the fused Pallas kernel (bit-matching the
+jnp ground truth in pemp_tpu/ops/prototypes.py — tests/test_pallas_kernels.py);
+the backward pass is a hand-derived analytic VJP written as batched
+MXU-shaped matmuls on the flat ``[B,S,n,2p]`` layout:
+
+- nothing five-dimensional (``[B,S,n,2,p]``) is ever saved as a residual
+  — the backward recomputes the softmax assignment from the four small
+  inputs (rematerialisation: one extra ``[n,c]x[c,2p]`` matmul instead of
+  keeping two ``[B,S,n,2p]`` tensors alive across the whole backbone
+  backward, the dominant HBM-lifetime cost of the autodiff version),
+- the matching backward uses the kernel's argmax indices (a residual the
+  forward produces for free) so the max-over-p scatter becomes a one-hot
+  mask, never a real scatter (pathological on TPU).
+
+Gradient semantics match ``jax.grad`` of the jnp ground truth
+(tests/test_pallas_vjp.py): ``jnp.maximum(x, eps)`` clamps route the
+cotangent to the variable side iff it is >= eps, and ``_safe_norm``'s
+``max(sq, 1e-30)`` guard zeroes the gradient at the zero vector exactly
+like the ground truth does. The only deliberate deviation is max-over-p
+ties: autodiff splits the cotangent among tied prototypes, the kernel
+routes it to the first occurrence (measure-zero for real features).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pemp_tpu.ops.pallas.mpm import (
+    meta_prototype_assign_pallas, prototype_match_pallas,
+)
+
+_HI = lax.Precision.HIGHEST
+
+
+# ---------------------------------------------------------------------------
+# meta-prototype assignment: Pallas forward, analytic backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def meta_prototype_assign_fused(sup_fts, sup_fg, sup_bg, ctr, protos,
+                                eps=1e-6, interpret=False):
+    """Differentiable drop-in for ops.prototypes.meta_prototype_assign
+    with the fused Pallas forward (ops/pallas/mpm.py)."""
+    return meta_prototype_assign_pallas(sup_fts, sup_fg, sup_bg, ctr,
+                                        protos, eps=eps, interpret=interpret)
+
+
+def _assign_fwd(sup_fts, sup_fg, sup_bg, ctr, protos, eps, interpret):
+    out = meta_prototype_assign_pallas(sup_fts, sup_fg, sup_bg, ctr,
+                                       protos, eps=eps, interpret=interpret)
+    return out, (sup_fts, sup_fg, sup_bg, ctr)
+
+
+def _assign_bwd(protos, eps, interpret, res, g):
+    sup_fts, sup_fg, sup_bg, ctr = res
+    gfg, gbg = g
+    f = sup_fts.astype(jnp.float32)
+    c32 = ctr.astype(jnp.float32)
+    b, s, n, c = f.shape
+    k = protos
+
+    # --- recompute the forward chain (ground-truth formulation) ---------
+    f_sq = jnp.sum(f * f, axis=-1, keepdims=True)                # [B,S,n,1]
+    c_sq = jnp.sum(c32 * c32, axis=0)                            # [2k]
+    fc = jnp.einsum("bsnc,ck->bsnk", f, c32, precision=_HI)
+    dist = -(f_sq - 2.0 * fc + c_sq)                             # [B,S,n,2k]
+
+    d5 = dist.reshape(b, s, n, 2, k)
+    sm5 = jax.nn.softmax(d5, axis=-1)                            # [B,S,n,2,k]
+    mask2 = jnp.stack([sup_fg, sup_bg], axis=-1).astype(jnp.float32)
+    a = (sm5 * mask2[..., None]).reshape(b, s, n, 2 * k)
+    num = jnp.einsum("bsnc,bsnk->bskc", f, a, precision=_HI)     # [B,S,2k,c]
+    den = jnp.sum(a, axis=2)[..., None] + eps                    # [B,S,2k,1]
+
+    # --- proto = mean_s(num / den); split (fg, bg) -----------------------
+    gproto = jnp.concatenate([gfg, gbg], axis=1).astype(jnp.float32)
+    gq = gproto[:, None] / s                                     # [B,1,2k,c]
+    g_num = gq / den                                             # [B,S,2k,c]
+    g_den = -jnp.sum(gq * num, axis=-1, keepdims=True) / (den * den)
+
+    g_a = (jnp.einsum("bsnc,bskc->bsnk", f, g_num, precision=_HI)
+           + g_den[..., 0][:, :, None, :])                       # [B,S,n,2k]
+    g_f = jnp.einsum("bsnk,bskc->bsnc", a, g_num, precision=_HI)
+
+    # --- through a = softmax(dist | class) * mask ------------------------
+    g_a5 = g_a.reshape(b, s, n, 2, k)
+    g_mask2 = jnp.sum(sm5 * g_a5, axis=-1)                       # [B,S,n,2]
+    g_sm5 = g_a5 * mask2[..., None]
+    g_d5 = sm5 * (g_sm5 - jnp.sum(sm5 * g_sm5, axis=-1, keepdims=True))
+    g_dist = g_d5.reshape(b, s, n, 2 * k)
+
+    # --- through dist = -(f_sq - 2 f.ctr + c_sq) --------------------------
+    g_fc = 2.0 * g_dist
+    g_row = jnp.sum(g_dist, axis=-1, keepdims=True)              # [B,S,n,1]
+    g_f = g_f - 2.0 * f * g_row \
+        + jnp.einsum("bsnk,ck->bsnc", g_fc, c32, precision=_HI)
+    g_ctr = jnp.einsum("bsnc,bsnk->ck", f, g_fc, precision=_HI) \
+        - 2.0 * c32 * jnp.sum(g_dist, axis=(0, 1, 2))[None, :]
+
+    return (g_f.astype(sup_fts.dtype),
+            g_mask2[..., 0].astype(sup_fg.dtype),
+            g_mask2[..., 1].astype(sup_bg.dtype),
+            g_ctr.astype(ctr.dtype))
+
+
+meta_prototype_assign_fused.defvjp(_assign_fwd, _assign_bwd)
+
+
+# ---------------------------------------------------------------------------
+# prototype matching: Pallas forward (argmax saved), analytic backward
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def prototype_match_fused(qry_fts, fg_proto, bg_proto, dist_scalar=20.0,
+                          cos_eps=1e-8, interpret=False):
+    """Differentiable drop-in for ops.prototypes.prototype_predictions
+    (multi-prototype path, no indices output) with the fused Pallas
+    forward. Returns logits [B,Q,n,2] (class order [bg, fg])."""
+    return prototype_match_pallas(qry_fts, fg_proto, bg_proto, dist_scalar,
+                                  return_indices=False, cos_eps=cos_eps,
+                                  interpret=interpret)
+
+
+def _match_fwd(qry_fts, fg_proto, bg_proto, dist_scalar, cos_eps, interpret):
+    logits, inds = prototype_match_pallas(
+        qry_fts, fg_proto, bg_proto, dist_scalar, return_indices=True,
+        cos_eps=cos_eps, interpret=interpret)
+    return logits, (qry_fts, fg_proto, bg_proto, inds)
+
+
+def _norm_and_guard(x):
+    """_safe_norm forward + the (sq >= tiny) gradient gate it implies."""
+    sq = jnp.sum(x * x, axis=-1)
+    return jnp.sqrt(jnp.maximum(sq, 1e-30)), (sq >= 1e-30)
+
+
+def _match_bwd(dist_scalar, cos_eps, interpret, res, g):
+    qry_fts, fg_proto, bg_proto, inds = res
+    q = qry_fts.astype(jnp.float32)
+    k = fg_proto.shape[1]
+
+    qn, q_live = _norm_and_guard(q)                              # [B,Q,n]
+    col = jnp.arange(k, dtype=inds.dtype)
+
+    def class_bwd(proto, idx, g_cls):
+        """One class: cotangents through sim = s * dot / max(qn*pn, eps)
+        restricted to the argmax prototype column (one-hot, no scatter).
+        proto [B,k,c], idx/g_cls [B,Q,n] -> (g_q, g_proto)."""
+        p = proto.astype(jnp.float32)
+        pn, p_live = _norm_and_guard(p)                          # [B,k]
+        dot = jnp.einsum("bqnc,bkc->bqnk", q, p, precision=_HI)
+        d_raw = qn[..., None] * pn[:, None, None, :]             # [B,Q,n,k]
+        d_cl = jnp.maximum(d_raw, cos_eps)
+
+        g_sim = ((idx[..., None] == col) * g_cls[..., None]
+                 ).astype(jnp.float32)                           # [B,Q,n,k]
+        g_cos = g_sim * dist_scalar
+        g_dot = g_cos / d_cl
+        g_d = jnp.where(d_raw >= cos_eps,
+                        -g_cos * dot / (d_cl * d_cl), 0.0)
+
+        g_qn = jnp.sum(g_d * pn[:, None, None, :], axis=-1)      # [B,Q,n]
+        g_pn = jnp.sum(g_d * qn[..., None], axis=(1, 2))         # [B,k]
+
+        g_q = jnp.einsum("bqnk,bkc->bqnc", g_dot, p, precision=_HI) \
+            + jnp.where(q_live, g_qn / qn, 0.0)[..., None] * q
+        g_p = jnp.einsum("bqnk,bqnc->bkc", g_dot, q, precision=_HI) \
+            + jnp.where(p_live, g_pn / pn, 0.0)[..., None] * p
+        return g_q, g_p
+
+    # kernel class order is [bg, fg] (reference stacking, baseline.py:148)
+    g_q_bg, g_bg = class_bwd(bg_proto, inds[..., 0], g[..., 0])
+    g_q_fg, g_fg = class_bwd(fg_proto, inds[..., 1], g[..., 1])
+
+    return ((g_q_bg + g_q_fg).astype(qry_fts.dtype),
+            g_fg.astype(fg_proto.dtype),
+            g_bg.astype(bg_proto.dtype))
+
+
+prototype_match_fused.defvjp(_match_fwd, _match_bwd)

@@ -1,0 +1,160 @@
+"""Omniboard/Mongo-compatible run observer.
+
+The reference attaches a Sacred ``MongoObserver`` so runs can be browsed
+in Omniboard (reference utils/misc.py:34-45, config.py:17-19: flags
+``g.mongodb`` / ``g.mongo_port``, db name = experiment name). This module
+reproduces that sink without depending on Sacred:
+
+- documents follow Sacred's MongoObserver schema (``runs`` collection:
+  _id/experiment/command/host/start_time/config/status/result/heartbeat;
+  ``metrics`` collection: name/run_id/steps/values/timestamps with an
+  ``info.metrics`` link list on the run) — exactly what Omniboard reads;
+- when ``pymongo`` is importable the documents go straight to
+  ``mongodb://localhost:<port>/<db>``;
+- when it is not (this image), the same documents are written as
+  MongoDB extended JSON under ``<run_dir>/mongo/{runs,metrics}.json`` so
+  ``mongoimport --db <name> --collection runs|metrics`` recreates the
+  Omniboard-ready database byte-for-byte later.
+
+Unlike the reference (config.py:33-36 turns fileStorage OFF when mongo
+is on), the file-based run dir stays on either way — checkpoints live
+there.
+"""
+
+from __future__ import annotations
+
+import json
+import platform
+import socket
+import sys
+import time
+from datetime import datetime, timezone
+from pathlib import Path
+from typing import Dict, List, Optional
+
+
+def _now() -> datetime:
+    return datetime.now(timezone.utc).replace(tzinfo=None)
+
+
+class MongoRunObserver:
+    """One run's Sacred-schema sink (live Mongo or mongoimport files)."""
+
+    def __init__(self, name: str, run_id: int, command: str, config: Dict,
+                 port: int = 7000, run_dir: Optional[Path] = None):
+        self.name = name
+        self.run_id = run_id
+        self._metrics: Dict[str, Dict] = {}
+        self._db = None
+        self._dir = None
+        try:
+            import pymongo                                   # noqa: F401
+            client = pymongo.MongoClient(
+                f"mongodb://localhost:{port}/", serverSelectionTimeoutMS=2000)
+            client.admin.command("ping")
+            self._db = client[name]
+        except Exception:
+            if run_dir is None:
+                raise RuntimeError(
+                    "g.mongodb=True but pymongo/mongod is unavailable and "
+                    "there is no run dir for the mongoimport fallback "
+                    "(unobserved run). Drop -u or set g.mongodb=False.")
+            self._dir = Path(run_dir) / "mongo"
+            self._dir.mkdir(parents=True, exist_ok=True)
+
+        self._run_doc = {
+            "_id": run_id,
+            "format": "MongoObserver-0.7.0",
+            "experiment": {"name": name, "base_dir": str(Path.cwd()),
+                           "sources": [], "dependencies": [],
+                           "repositories": [],
+                           "mainfile": Path(sys.argv[0]).name},
+            "command": command,
+            "host": {"hostname": socket.gethostname(),
+                     "os": [platform.system(), platform.platform()],
+                     "python_version": platform.python_version(),
+                     "cpu": platform.processor(), "ENV": {}},
+            "meta": {"command": command,
+                     "options": {"--unobserved": False}},
+            "config": config,
+            "start_time": _now(),
+            "heartbeat": _now(),
+            "status": "RUNNING",
+            "resources": [], "artifacts": [], "captured_out": "",
+            "info": {"metrics": []},
+            "result": None,
+        }
+        self._write_run()
+
+    # ------------------------------------------------------------------
+    def log_scalar(self, metric: str, value: float, step: int) -> None:
+        m = self._metrics.get(metric)
+        if m is None:
+            m = self._metrics[metric] = {
+                "_id": f"{self.run_id}.{metric}",
+                "name": metric, "run_id": self.run_id,
+                "steps": [], "values": [], "timestamps": []}
+            self._run_doc["info"]["metrics"].append(
+                {"name": metric, "id": m["_id"]})
+        m["steps"].append(int(step))
+        m["values"].append(float(value))
+        m["timestamps"].append(_now())
+        self._run_doc["heartbeat"] = _now()
+        self._write_metric(m)
+        self._write_run()
+
+    def finish(self, status: str = "COMPLETED", result=None) -> None:
+        self._run_doc["status"] = status
+        self._run_doc["stop_time"] = _now()
+        self._run_doc["heartbeat"] = _now()
+        if result is not None:
+            self._run_doc["result"] = result if isinstance(
+                result, (int, float)) else str(result)
+        self._write_run()
+
+    # ------------------------------------------------------------------
+    def _write_run(self) -> None:
+        if self._db is not None:
+            self._db.runs.replace_one({"_id": self.run_id}, self._run_doc,
+                                      upsert=True)
+        else:
+            self._dump("runs.json", [self._run_doc])
+
+    def _write_metric(self, m: Dict) -> None:
+        if self._db is not None:
+            self._db.metrics.replace_one({"_id": m["_id"]}, m, upsert=True)
+        else:
+            self._dump("metrics.json", list(self._metrics.values()))
+
+    def _dump(self, fname: str, docs: List[Dict]) -> None:
+        # MongoDB extended JSON: one document per line (mongoimport's
+        # default format); datetimes as {"$date": ISO-8601}.
+        def ext(o):
+            if isinstance(o, datetime):
+                return {"$date": o.isoformat(timespec="milliseconds") + "Z"}
+            if isinstance(o, dict):
+                return {k: ext(v) for k, v in o.items()}
+            if isinstance(o, (list, tuple)):
+                return [ext(v) for v in o]
+            return o
+
+        tmp = self._dir / (fname + ".tmp")
+        with open(tmp, "w") as f:
+            for doc in docs:
+                f.write(json.dumps(ext(doc)) + "\n")
+        tmp.replace(self._dir / fname)
+
+
+def maybe_attach(run, cfg, name: str, command: str) -> None:
+    """Attach a MongoRunObserver to a Run when ``g.mongodb`` is set
+    (reference utils/misc.py:53 attaches per-experiment, db=NAME)."""
+    if not getattr(cfg.g, "mongodb", False):
+        return
+    if run._id is None:     # -u / --unobserved disables every observer
+        return
+    from pemp_tpu.config.base import flatten_config
+    config = {k: repr(v) for k, v in flatten_config(cfg).items()}
+    rid = run._id if run._id is not None else int(time.time())
+    run.observers.append(MongoRunObserver(
+        name, rid, command, config,
+        port=cfg.g.mongo_port, run_dir=run.run_dir))

@@ -1,0 +1,130 @@
+"""Custom-VJP Pallas wrappers vs jax.grad of the jnp ground truth.
+
+The fused kernels (interpret mode on CPU) must produce the same
+cotangents as autodiff through pemp_tpu/ops/prototypes.py for every
+differentiable input — this is what licenses putting them on the
+training path (reference hot loop networks/pemp_stage1.py:201-215).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pemp_tpu.ops.prototypes import (
+    meta_prototype_assign, prototype_predictions,
+)
+from pemp_tpu.ops.pallas.mpm_vjp import (
+    meta_prototype_assign_fused, prototype_match_fused,
+)
+
+
+def _close(a, b, rtol=1e-4, atol=1e-5):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=rtol, atol=atol)
+
+
+@pytest.mark.parametrize("n,c,p,s", [(100, 128, 3, 1), (64, 96, 3, 2),
+                                     (50, 128, 1, 1)])
+def test_assign_vjp_matches_autodiff(n, c, p, s):
+    rng = np.random.RandomState(7)
+    b = 2
+    sup = jnp.asarray(rng.randn(b, s, n, c).astype(np.float32))
+    fg = jnp.asarray((rng.rand(b, s, n) > 0.6).astype(np.float32))
+    bg = 1.0 - fg
+    ctr = jnp.asarray(rng.rand(c, 2 * p).astype(np.float32))
+    wf = jnp.asarray(rng.randn(b, p, c).astype(np.float32))
+    wb = jnp.asarray(rng.randn(b, p, c).astype(np.float32))
+
+    def loss_ref(sup, fg, bg, ctr):
+        f, g = meta_prototype_assign(sup, fg, bg, ctr, p)
+        return jnp.sum(f * wf) + jnp.sum(g * wb)
+
+    def loss_fused(sup, fg, bg, ctr):
+        f, g = meta_prototype_assign_fused(sup, fg, bg, ctr, p, 1e-6, True)
+        return jnp.sum(f * wf) + jnp.sum(g * wb)
+
+    v1, g1 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(
+        sup, fg, bg, ctr)
+    v2, g2 = jax.value_and_grad(loss_fused, argnums=(0, 1, 2, 3))(
+        sup, fg, bg, ctr)
+    _close(v1, v2)
+    for a, b_ in zip(g1, g2):
+        _close(a, b_)
+
+
+@pytest.mark.parametrize("n,c,p,q", [(100, 128, 3, 1), (64, 96, 1, 2)])
+def test_match_vjp_matches_autodiff(n, c, p, q):
+    rng = np.random.RandomState(11)
+    b = 2
+    qry = jnp.asarray(rng.randn(b, q, n, c).astype(np.float32))
+    fgp = jnp.asarray(rng.randn(b, p, c).astype(np.float32))
+    bgp = jnp.asarray(rng.randn(b, p, c).astype(np.float32))
+    w = jnp.asarray(rng.randn(b, q, n, 2).astype(np.float32))
+
+    def loss_ref(qry, fgp, bgp):
+        return jnp.sum(prototype_predictions(qry, fgp, bgp, 20.0) * w)
+
+    def loss_fused(qry, fgp, bgp):
+        return jnp.sum(prototype_match_fused(qry, fgp, bgp, 20.0,
+                                             1e-8, True) * w)
+
+    v1, g1 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(qry, fgp, bgp)
+    v2, g2 = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(qry, fgp, bgp)
+    _close(v1, v2)
+    for a, b_ in zip(g1, g2):
+        _close(a, b_)
+
+
+def test_full_mpm_chain_vjp():
+    """Assign -> match composed, grads to features AND the learned ctr
+    parameter (the exact training-path composition in mpm_predict)."""
+    rng = np.random.RandomState(3)
+    b, s, n, c, p = 2, 1, 81, 64, 3
+    sup = jnp.asarray(rng.randn(b, s, n, c).astype(np.float32))
+    qry = jnp.asarray(rng.randn(b, 1, n, c).astype(np.float32))
+    fg = jnp.asarray((rng.rand(b, s, n) > 0.5).astype(np.float32))
+    bg = 1.0 - fg
+    ctr = jnp.asarray(rng.rand(c, 2 * p).astype(np.float32))
+    w = jnp.asarray(rng.randn(b, 1, n, 2).astype(np.float32))
+
+    def loss_ref(sup, qry, ctr):
+        f, g = meta_prototype_assign(sup, fg, bg, ctr, p)
+        return jnp.sum(prototype_predictions(qry, f, g, 20.0) * w)
+
+    def loss_fused(sup, qry, ctr):
+        f, g = meta_prototype_assign_fused(sup, fg, bg, ctr, p, 1e-6, True)
+        return jnp.sum(prototype_match_fused(qry, f, g, 20.0, 1e-8, True) * w)
+
+    v1, g1 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(sup, qry, ctr)
+    v2, g2 = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(sup, qry, ctr)
+    _close(v1, v2)
+    for a, b_ in zip(g1, g2):
+        _close(a, b_)
+
+
+def test_match_vjp_zero_prototype_no_nan():
+    """A zero prototype (empty support class) must give finite, matching
+    grads — the _safe_norm guard path. p=1 so the all-zero class has no
+    max-over-p tie (ties split in autodiff but take-first in the kernel,
+    a documented measure-zero deviation)."""
+    rng = np.random.RandomState(5)
+    b, n, c, p = 1, 50, 64, 1
+    qry = jnp.asarray(rng.randn(b, 1, n, c).astype(np.float32))
+    fgp = jnp.asarray(rng.randn(b, p, c).astype(np.float32))
+    bgp = jnp.zeros((b, p, c), jnp.float32)        # all-zero bg prototypes
+    w = jnp.asarray(rng.randn(b, 1, n, 2).astype(np.float32))
+
+    def loss_ref(qry, fgp, bgp):
+        return jnp.sum(prototype_predictions(qry, fgp, bgp, 20.0) * w)
+
+    def loss_fused(qry, fgp, bgp):
+        return jnp.sum(prototype_match_fused(qry, fgp, bgp, 20.0,
+                                             1e-8, True) * w)
+
+    g1 = jax.grad(loss_ref, argnums=(0, 1, 2))(qry, fgp, bgp)
+    g2 = jax.grad(loss_fused, argnums=(0, 1, 2))(qry, fgp, bgp)
+    for a, b_ in zip(g1, g2):
+        assert np.isfinite(np.asarray(b_)).all()
+        _close(a, b_)

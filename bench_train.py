@@ -110,9 +110,10 @@ def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240):
 
     params, batch_stats, opt_state, loss = step(
         params, batch_stats, opt_state, batch, key)
-    jax.block_until_ready(loss)
+    float(loss)     # value fetch: block_until_ready alone can return
+    #                 early through the tunneled backend (observed)
 
-    best = 0.0
+    best, rates = 0.0, []
     deadline = time.time() + (budget_s if on_tpu else 20)
     for _ in range(rounds):
         tic = time.perf_counter()
@@ -120,9 +121,10 @@ def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240):
             params, batch_stats, opt_state, loss = step(
                 params, batch_stats, opt_state, batch,
                 jax.random.fold_in(key, i))
-        jax.block_until_ready(loss)
+        float(loss)     # hard host sync closes the timing window
         dt = time.perf_counter() - tic
-        best = max(best, launches * bs / dt)
+        rates.append(round(launches * bs / dt, 2))
+        best = max(best, rates[-1])
         if time.time() > deadline:
             break
 
@@ -137,6 +139,7 @@ def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240):
         "step_flops": flops,
         "device": kind,
         "mfu": round(mfu, 4) if mfu is not None else None,
+        "round_rates": rates,
         "loss_final": float(loss),
     }
 

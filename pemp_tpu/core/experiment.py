@@ -45,8 +45,13 @@ class EntryRuntime:
                      if cfg.tpu.mesh > 1 else None)
         # fused Pallas kernels on TPU for BOTH steps: eval runs the raw
         # forward kernels, the train step differentiates through the
-        # custom-VJP wrappers (pemp_tpu/ops/pallas/mpm_vjp.py)
-        if cfg.tpu.use_pallas and hasattr(self.model, "use_pallas"):
+        # custom-VJP wrappers (pemp_tpu/ops/pallas/mpm_vjp.py).
+        # Single-device only: under a >1-device GSPMD mesh a pallas_call
+        # is an opaque custom call (no partitioning rule without
+        # shard_map), so XLA would all-gather its operands — correct but
+        # a silent memory/ICI hazard; the jnp path partitions cleanly.
+        if (cfg.tpu.use_pallas and self.mesh is None
+                and hasattr(self.model, "use_pallas")):
             from pemp_tpu.ops.pallas.mpm import pallas_available
             if pallas_available():
                 self.model = self.model.clone(use_pallas=True)

@@ -29,7 +29,7 @@ import numpy as np
 
 V100_EST_EPS = 20.0     # estimated reference V100 eval episodes/sec
 HW = 401
-BATCH = 128     # measured: ~3% over B=64 (737 vs 717 eps/s, r2)
+BATCH = 256     # measured r2: 717 (B=64) -> 737 (B=128) -> 751 eps/s (B=256)
 WARMUP = 2
 LAUNCHES = 5            # short rounds: the tunnel link flips between a
 ROUNDS = 40             # fast (~44ms/launch) and a pathological (~13s/

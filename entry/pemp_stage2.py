@@ -50,12 +50,11 @@ class Stage2Runtime(EntryRuntime):
             block_size=cfg.net.block_size, dist_scalar=cfg.net.dist_scalar,
             dtype=registry.DTYPES[cfg.tpu.precision])
         self.s1_variables = self._load_stage1()
-        if cfg.tpu.use_pallas and self.mesh is None:  # see EntryRuntime
-            from pemp_tpu.ops.pallas.mpm import pallas_available
-            if pallas_available():
-                # custom-VJP kernels are safe inside the grad closure too
-                # (the prior is argmax'd, so no cotangent reaches stage-1)
-                self.stage1 = self.stage1.clone(use_pallas=True)
+        from pemp_tpu.ops.pallas.mpm import pallas_enabled
+        if pallas_enabled(cfg):
+            # custom-VJP kernels are safe inside the grad closure too
+            # (the prior is argmax'd, so no cotangent reaches stage-1)
+            self.stage1 = self.stage1.clone(use_pallas=True)
         self.stage1_eval = self.stage1
 
     def _load_stage1(self):

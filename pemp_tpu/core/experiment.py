@@ -45,16 +45,12 @@ class EntryRuntime:
                      if cfg.tpu.mesh > 1 else None)
         # fused Pallas kernels on TPU for BOTH steps: eval runs the raw
         # forward kernels, the train step differentiates through the
-        # custom-VJP wrappers (pemp_tpu/ops/pallas/mpm_vjp.py).
-        # Single-device only: under a >1-device GSPMD mesh a pallas_call
-        # is an opaque custom call (no partitioning rule without
-        # shard_map), so XLA would all-gather its operands — correct but
-        # a silent memory/ICI hazard; the jnp path partitions cleanly.
-        if (cfg.tpu.use_pallas and self.mesh is None
-                and hasattr(self.model, "use_pallas")):
-            from pemp_tpu.ops.pallas.mpm import pallas_available
-            if pallas_available():
-                self.model = self.model.clone(use_pallas=True)
+        # custom-VJP wrappers (pemp_tpu/ops/pallas/mpm_vjp.py). The gate
+        # (single-device mesh only — see its docstring) is shared with
+        # the cedt EDT backend in losses.get.
+        from pemp_tpu.ops.pallas.mpm import pallas_enabled
+        if pallas_enabled(cfg) and hasattr(self.model, "use_pallas"):
+            self.model = self.model.clone(use_pallas=True)
         self.eval_model = self.model
 
     # ---------------- hooks (override per model) -----------------------
@@ -156,9 +152,9 @@ class EntryRuntime:
             out_hw = tuple(batch["qry_rgb"].shape[2:4])
             logits = output_resize(logits, out_hw)           # [B,Q,H,W,2]
             labels = batch["qry_msk"]                        # [B,Q,H,W]
-            b = logits.shape[0]
-            lg = logits.reshape(b, -1, 2)
-            lb = labels.reshape(b, -1)
+            b, nq = logits.shape[:2]
+            lg = logits.reshape(b, nq, -1, 2)
+            lb = labels.reshape(b, nq, -1)
             losses = per_episode_cross_entropy(lg, lb)
             # all Q queries contribute counts (same fg class per episode,
             # so TP/FP/FN simply add across the episode's queries)
@@ -200,9 +196,9 @@ class EntryRuntime:
             logits = logits.astype(jnp.float32)
             up = jnp.einsum("bHh,bqhwc->bqHwc", rh, logits, precision=hi)
             up = jnp.einsum("bWw,bqHwc->bqHWc", rw, up, precision=hi)
-            b = up.shape[0]
+            b, nq = up.shape[:2]
             losses = per_episode_cross_entropy(
-                up.reshape(b, -1, 2), labels.reshape(b, -1))
+                up.reshape(b, nq, -1, 2), labels.reshape(b, nq, -1))
             pred = jnp.argmax(up, axis=-1).astype(jnp.int32)
             counts = jax.vmap(jax.vmap(tp_fp_fn))(pred, labels).sum(axis=1)
             return counts, losses
@@ -237,10 +233,12 @@ class EntryRuntime:
             lab = np.full((b, nq, hm, wm), 255, np.int32)
             for i, q in enumerate(labels):
                 hh, ww = q.shape[-2:]
-                kh = mats.setdefault((hh, h), _interp_matrix(h, hh))
-                kw = mats.setdefault((ww, w), _interp_matrix(w, ww))
-                rh[i, :hh] = kh
-                rw[i, :ww] = kw
+                if (hh, h) not in mats:     # setdefault would rebuild the
+                    mats[(hh, h)] = _interp_matrix(h, hh)   # matrix eagerly
+                if (ww, w) not in mats:
+                    mats[(ww, w)] = _interp_matrix(w, ww)
+                rh[i, :hh] = mats[(hh, h)]
+                rw[i, :ww] = mats[(ww, w)]
                 lab[i, :, :hh, :ww] = q
             put = (lambda a: jax.device_put(a, shard)) \
                 if shard is not None else jnp.asarray

@@ -42,13 +42,18 @@ def cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 def per_episode_cross_entropy(logits: jnp.ndarray,
                               labels: jnp.ndarray) -> jnp.ndarray:
-    """Per-episode mean CE (ignore 255): logits [B, ..., C], labels
-    [B, ...] -> [B] (the eval protocol reports loss per episode)."""
+    """Per-episode eval CE (ignore 255): logits [B, Q, ..., C], labels
+    [B, Q, ...] -> [B]. Each query's CE is normalized by ITS OWN valid
+    count, then averaged over Q — matching the host-exact path
+    (trainer.py `_episode_metrics` appends one loss per query), which
+    differs from pooling all Q queries' pixels whenever 255-void pixels
+    are distributed unevenly across queries."""
     pix, valid = _pixel_ce(logits, labels)
-    b = pix.shape[0]
-    pix = pix.reshape(b, -1)
-    valid = valid.reshape(b, -1)
-    return jnp.sum(pix, axis=1) / jnp.maximum(jnp.sum(valid, axis=1), 1)
+    b, q = pix.shape[:2]
+    pix = pix.reshape(b, q, -1)
+    valid = valid.reshape(b, q, -1)
+    per_query = jnp.sum(pix, axis=2) / jnp.maximum(jnp.sum(valid, axis=2), 1)
+    return jnp.mean(per_query, axis=1)
 
 
 def cross_entropy_no_ignore(logits: jnp.ndarray,
@@ -63,23 +68,30 @@ def cross_entropy_no_ignore(logits: jnp.ndarray,
 
 
 def cedt(logits: jnp.ndarray, labels: jnp.ndarray,
-         sigma: float = 5.0) -> jnp.ndarray:
+         sigma: float = 5.0, use_pallas=None) -> jnp.ndarray:
     """Boundary-distance-weighted CE (reference CELossDT :33-43).
 
     logits [B, H, W, 2] (query axis already folded), labels [B, H, W].
+    ``use_pallas`` selects the EDT backend (None = auto: fused kernel on
+    a single TPU device); config-driven callers pass the gate decision.
     """
     pix, _ = _pixel_ce(logits, labels)
-    weight = edt_boundary_weight(labels, sigma)
+    weight = edt_boundary_weight(labels, sigma, use_pallas=use_pallas)
     return jnp.sum(pix * weight) / jnp.sum(weight)
 
 
 def get(cfg):
-    """Loss factory keyed by ``cfg.loss`` (reference core/losses.py:8-14)."""
+    """Loss factory keyed by ``cfg.loss`` (reference core/losses.py:8-14).
+    The cedt EDT backend is gated by the same predicate as the model
+    kernels (pallas_enabled: single-device mesh only)."""
     if cfg.loss == "ce":
         return cross_entropy
     if cfg.loss == "cedt":
         sigma = cfg.sigma
-        return lambda logits, labels: cedt(logits, labels, sigma)
+        from pemp_tpu.ops.pallas.mpm import pallas_enabled
+        up = pallas_enabled(cfg)
+        return lambda logits, labels: cedt(logits, labels, sigma,
+                                           use_pallas=up)
     raise ValueError(
         f"Unsupported loss type, got {cfg.loss}. Please choose from [ce, cedt]")
 

@@ -100,8 +100,7 @@ class Evaluator:
         qry_msk = batch["qry_msk"]
         losses = []
         for i in range(b):
-            label = np.asarray(qry_msk[i] if isinstance(qry_msk, list)
-                               else qry_msk[i])
+            label = np.asarray(qry_msk[i])
             label = label.reshape((-1,) + label.shape[-2:])  # [Q, H', W']
             assert label.shape[0] == n_qry, \
                 f"GT has {label.shape[0]} queries, logits have {n_qry}"

@@ -110,15 +110,19 @@ class SyntheticDataset:
         # is resized to the input size but its GT stays at the ORIGINAL
         # per-sample resolution (reference data_kits/pascal_voc.py:229)
         var_gt = self.cfg.data.var_gt and not self.train
+        if var_gt:
+            # one GT size per EPISODE (keyed on the first query name), so
+            # multi-query episodes still stack — matches the protocol,
+            # where an episode's metrics are computed per GT resolution
+            import zlib
+            crc = zlib.crc32(qry_names[0].encode())
+            gt_size = (self.height + 1 + crc % 17,
+                       self.width + 1 + crc % 23)
         for n in qry_names:
             img, m = self._render(n)
             qry_rgb.append(img)
             if var_gt:
-                import zlib
-                crc = zlib.crc32(n.encode())
-                oh = self.height + 1 + crc % 17
-                ow = self.width + 1 + crc % 23
-                m = self._render(n, size=(oh, ow))[1]
+                m = self._render(n, size=gt_size)[1]
             qry_msk.append(m.astype(np.int32))
 
         ep = {

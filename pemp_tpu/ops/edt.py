@@ -122,8 +122,10 @@ def boundary_map(target: jnp.ndarray) -> jnp.ndarray:
     return jnp.round(dilated + erosion) >= 1.0
 
 
-def edt_boundary_weight(target: jnp.ndarray, sigma: float) -> jnp.ndarray:
+def edt_boundary_weight(target: jnp.ndarray, sigma: float,
+                        use_pallas=None) -> jnp.ndarray:
     """Per-pixel CE weight ``exp(-EDT(boundary)/sigma^2) + 1``
     (reference: core/losses.py:30)."""
-    edt = euclidean_distance_transform(boundary_map(target))
+    edt = euclidean_distance_transform(boundary_map(target),
+                                       use_pallas=use_pallas)
     return jnp.exp(-edt / (sigma ** 2)) + 1.0

@@ -47,6 +47,8 @@ class MongoRunObserver:
         self._metrics: Dict[str, Dict] = {}
         self._db = None
         self._dir = None
+        self._pending = 0
+        self._last_flush = time.monotonic()
         try:
             import pymongo                                   # noqa: F401
             client = pymongo.MongoClient(
@@ -87,6 +89,9 @@ class MongoRunObserver:
         self._write_run()
 
     # ------------------------------------------------------------------
+    FLUSH_EVERY = 100       # scalars between file flushes
+    FLUSH_SECS = 30.0       # ... or at most this long between flushes
+
     def log_scalar(self, metric: str, value: float, step: int) -> None:
         m = self._metrics.get(metric)
         if m is None:
@@ -100,8 +105,17 @@ class MongoRunObserver:
         m["values"].append(float(value))
         m["timestamps"].append(_now())
         self._run_doc["heartbeat"] = _now()
-        self._write_metric(m)
-        self._write_run()
+        if self._db is not None:
+            self._write_metric(m)
+            self._write_run()
+            return
+        # file mode rewrites full documents (mongoimport has no $push),
+        # so batch the disk writes — per-scalar rewriting would be
+        # O(total^2) bytes over a training run
+        self._pending += 1
+        if (self._pending >= self.FLUSH_EVERY
+                or time.monotonic() - self._last_flush > self.FLUSH_SECS):
+            self._flush_files()
 
     def finish(self, status: str = "COMPLETED", result=None) -> None:
         self._run_doc["status"] = status
@@ -110,7 +124,17 @@ class MongoRunObserver:
         if result is not None:
             self._run_doc["result"] = result if isinstance(
                 result, (int, float)) else str(result)
-        self._write_run()
+        if self._db is not None:
+            self._write_run()
+        else:
+            self._flush_files()
+
+    def _flush_files(self) -> None:
+        self._pending = 0
+        self._last_flush = time.monotonic()
+        if self._metrics:
+            self._dump("metrics.json", list(self._metrics.values()))
+        self._dump("runs.json", [self._run_doc])
 
     # ------------------------------------------------------------------
     def _write_run(self) -> None:
@@ -154,7 +178,6 @@ def maybe_attach(run, cfg, name: str, command: str) -> None:
         return
     from pemp_tpu.config.base import flatten_config
     config = {k: repr(v) for k, v in flatten_config(cfg).items()}
-    rid = run._id if run._id is not None else int(time.time())
     run.observers.append(MongoRunObserver(
-        name, rid, command, config,
+        name, run._id, command, config,
         port=cfg.g.mongo_port, run_dir=run.run_dir))

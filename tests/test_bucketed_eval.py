@@ -46,3 +46,29 @@ def test_bucketed_eval_matches_host_exact(tmp_path):
     m_bucket = results[0].split("mIoU")[1]
     m_host = results[1].split("mIoU")[1]
     assert m_bucket == m_host, results
+
+
+def test_var_gt_multi_query_episode_stacks():
+    """Regression: with query>1, the per-EPISODE GT size (keyed on the
+    first query name) must apply to every query so the episode stacks —
+    per-query sizes used to crash np.stack at get_episode."""
+    from pemp_tpu.config import Config
+    from pemp_tpu.data.synthetic import SyntheticDataset
+    from pemp_tpu.models import registry
+
+    cfg = Config()
+    cfg.net = registry.net_config("baseline")
+    cfg.split = 0
+    cfg.query = 2
+    cfg.data.height = cfg.data.width = 33
+    cfg.data.test_n = 3
+    cfg.data.var_gt = True
+    ds = SyntheticDataset(cfg, train=False, split=0, shot=1, query=2)
+    ds.reset_sampler()
+    ds.sample_tasks()
+    sizes = set()
+    for i in range(3):
+        q = ds.get_episode(i)["qry_msk"]
+        assert q.shape[0] == 2                      # both queries stacked
+        sizes.add(q.shape[-2:])
+    assert len(sizes) > 1, "GT size must still vary across episodes"

@@ -15,11 +15,10 @@ import numpy as np
 import pytest
 
 import jax
-import jax.numpy as jnp
 
 sys.path.insert(0, str(Path(__file__).parents[1]))
 
-from tools.convert_reference_ckpt import _build_model, convert_trained
+from tools.convert_reference_ckpt import build_init_trees, convert_trained
 from tools.export_reference_ckpt import export_trained
 
 CASES = [
@@ -35,24 +34,7 @@ CASES = [
 
 
 def _init_trees(name, backbone, seed):
-    model = _build_model(name, backbone, shot=1)
-    hw = 41 if name == "pfenet" else 33
-    inputs = [jnp.zeros((1, 1, hw, hw, 3)), jnp.zeros((1, 1, hw, hw, 2)),
-              jnp.zeros((1, 1, hw, hw, 3))]
-    rngs = {"params": jax.random.PRNGKey(seed)}
-    kwargs = {}
-    if name == "pemp_stage2":
-        inputs.append(jnp.zeros((1, 1, hw, hw)))
-    elif name == "canet":
-        inputs.append(jnp.zeros((1, 1, -(-hw // 8), -(-hw // 8), 2)))
-    elif name == "rpmms":
-        rngs["pmm"] = jax.random.PRNGKey(seed + 1)
-        kwargs["out_hw"] = None
-    variables = jax.jit(
-        lambda r, *a: model.init(r, *a, **kwargs))(rngs, *inputs)
-    params = jax.tree_util.tree_map(np.asarray, variables["params"])
-    stats = jax.tree_util.tree_map(
-        np.asarray, variables.get("batch_stats", {}))
+    _, params, stats = build_init_trees(name, backbone, shot=1, seed=seed)
     return params, stats
 
 

@@ -85,3 +85,37 @@ def test_loss_factory():
         assert False
     except ValueError:
         pass
+
+
+def test_per_episode_ce_averages_per_query_with_uneven_voids():
+    """The on-device eval CE must equal the host path's semantics: one
+    CE per query (each normalized by its own valid-pixel count), then
+    the episode mean — NOT a pool of all queries' pixels. The two only
+    differ when 255-void pixels are spread unevenly across queries."""
+    rng = np.random.RandomState(0)
+    b, q, n = 2, 3, 40
+    logits = rng.randn(b, q, n, 2).astype(np.float32)
+    labels = rng.randint(0, 2, (b, q, n)).astype(np.int32)
+    labels[:, 0, :30] = 255                 # query 0 is mostly void
+    labels[:, 2, :5] = 255
+
+    got = np.asarray(losses.per_episode_cross_entropy(
+        jnp.asarray(logits), jnp.asarray(labels)))
+
+    want = []
+    for i in range(b):
+        per_q = []
+        for j in range(q):
+            lg = torch.from_numpy(logits[i, j])
+            lb = torch.from_numpy(labels[i, j].astype(np.int64))
+            per_q.append(F.cross_entropy(lg, lb, ignore_index=255).item())
+        want.append(np.mean(per_q))
+    np.testing.assert_allclose(got, np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    # and it must NOT equal the pixel-pooled variant on this data
+    pooled = []
+    for i in range(b):
+        lg = torch.from_numpy(logits[i].reshape(-1, 2))
+        lb = torch.from_numpy(labels[i].reshape(-1).astype(np.int64))
+        pooled.append(F.cross_entropy(lg, lb, ignore_index=255).item())
+    assert not np.allclose(got, np.asarray(pooled), rtol=1e-3)

@@ -223,6 +223,36 @@ def _build_model(name: str, backbone: str, shot: int):
     return PFENet(shot=shot)
 
 
+def build_init_trees(model_name: str, backbone: str, shot: int,
+                     seed: int = 0):
+    """Model + freshly initialized (params, batch_stats) numpy trees —
+    the shared entry point for both conversion directions (importer,
+    tools/export_reference_ckpt.py) and the round-trip tests."""
+    import jax
+    import jax.numpy as jnp
+
+    model = _build_model(model_name, backbone, shot)
+    hw = 41 if model_name == "pfenet" else 33   # pfenet needs (hw-1)%8==0
+    inputs = [jnp.zeros((1, shot, hw, hw, 3)),
+              jnp.zeros((1, shot, hw, hw, 2)),
+              jnp.zeros((1, 1, hw, hw, 3))]
+    rngs = {"params": jax.random.PRNGKey(seed)}
+    kwargs = {}
+    if model_name == "pemp_stage2":
+        inputs.append(jnp.zeros((1, 1, hw, hw)))        # qry_prior
+    elif model_name == "canet":
+        inputs.append(jnp.zeros((1, 1, -(-hw // 8), -(-hw // 8), 2)))
+    elif model_name == "rpmms":
+        rngs["pmm"] = jax.random.PRNGKey(seed + 1)
+        kwargs["out_hw"] = None
+    variables = jax.jit(
+        lambda r, *a: model.init(r, *a, **kwargs))(rngs, *inputs)
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(
+        np.asarray, variables.get("batch_stats", {}))
+    return model, params, stats
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True,
@@ -234,32 +264,10 @@ def main():
     ap.add_argument("--shot", type=int, default=1)
     args = ap.parse_args()
 
-    import jax
-    import jax.numpy as jnp
     from pemp_tpu.core import checkpoint as ckpt_lib
     from pemp_tpu.utils.torch_convert import load_state_dict
 
-    model = _build_model(args.model, args.backbone, args.shot)
-
-    hw = 41 if args.model == "pfenet" else 33   # pfenet needs (hw-1)%8==0
-    inputs = [jnp.zeros((1, args.shot, hw, hw, 3)),
-              jnp.zeros((1, args.shot, hw, hw, 2)),
-              jnp.zeros((1, 1, hw, hw, 3))]
-    rngs = {"params": jax.random.PRNGKey(0)}
-    kwargs = {}
-    if args.model == "pemp_stage2":
-        inputs.append(jnp.zeros((1, 1, hw, hw)))        # qry_prior
-    elif args.model == "canet":
-        inputs.append(jnp.zeros((1, 1, -(-hw // 8), -(-hw // 8), 2)))
-    elif args.model == "rpmms":
-        rngs["pmm"] = jax.random.PRNGKey(1)
-        kwargs["out_hw"] = None
-    variables = jax.jit(
-        lambda r, *a: model.init(r, *a, **kwargs))(rngs, *inputs)
-    params = jax.tree_util.tree_map(np.asarray, variables["params"])
-    stats = jax.tree_util.tree_map(
-        np.asarray, variables.get("batch_stats", {}))
-
+    _, params, stats = build_init_trees(args.model, args.backbone, args.shot)
     sd = load_state_dict(Path(args.ckpt))
     convert_trained(args.model, args.backbone, sd, params, stats)
     ckpt_lib.save(Path(args.out),

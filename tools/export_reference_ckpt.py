@@ -222,30 +222,11 @@ def main():
 
     import torch
     from pemp_tpu.core import checkpoint as ckpt_lib
-    from tools.convert_reference_ckpt import _build_model
+    from tools.convert_reference_ckpt import build_init_trees
 
-    import jax
-    import jax.numpy as jnp
-    model = _build_model(args.model, args.backbone, args.shot)
-    hw = 41 if args.model == "pfenet" else 33
-    inputs = [jnp.zeros((1, args.shot, hw, hw, 3)),
-              jnp.zeros((1, args.shot, hw, hw, 2)),
-              jnp.zeros((1, 1, hw, hw, 3))]
-    rngs = {"params": jax.random.PRNGKey(0)}
-    kwargs = {}
-    if args.model == "pemp_stage2":
-        inputs.append(jnp.zeros((1, 1, hw, hw)))
-    elif args.model == "canet":
-        inputs.append(jnp.zeros((1, 1, -(-hw // 8), -(-hw // 8), 2)))
-    elif args.model == "rpmms":
-        rngs["pmm"] = jax.random.PRNGKey(1)
-        kwargs["out_hw"] = None
-    variables = jax.jit(
-        lambda r, *a: model.init(r, *a, **kwargs))(rngs, *inputs)
-    variables = jax.tree_util.tree_map(np.asarray, variables)
-    variables = {"params": variables["params"],
-                 "batch_stats": variables.get("batch_stats", {})}
-    variables = ckpt_lib.load_variables(Path(args.ckpt), variables)
+    _, params, stats = build_init_trees(args.model, args.backbone, args.shot)
+    variables = ckpt_lib.load_variables(
+        Path(args.ckpt), {"params": params, "batch_stats": stats})
 
     sd = export_trained(args.model, args.backbone,
                         variables["params"], variables["batch_stats"])

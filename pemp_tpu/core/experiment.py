@@ -40,9 +40,10 @@ class EntryRuntime:
         self.run = run
         self.logger = loggers.get_global_logger(self.name)
         self.model, self.frozen_patterns = registry.build(self.name, cfg)
-        self.loss_obj = loss_lib.get(cfg)
         self.mesh = (mesh_lib.data_mesh(cfg.tpu.mesh)
                      if cfg.tpu.mesh > 1 else None)
+        # the loss needs the mesh: the cedt EDT kernel shard_maps over it
+        self.loss_obj = loss_lib.get(cfg, mesh=self.mesh)
         # fused Pallas kernels on TPU for BOTH steps: eval runs the raw
         # forward kernels, the train step differentiates through the
         # custom-VJP wrappers (pemp_tpu/ops/pallas/mpm_vjp.py). The gate

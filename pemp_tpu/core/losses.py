@@ -68,30 +68,34 @@ def cross_entropy_no_ignore(logits: jnp.ndarray,
 
 
 def cedt(logits: jnp.ndarray, labels: jnp.ndarray,
-         sigma: float = 5.0, use_pallas=None) -> jnp.ndarray:
+         sigma: float = 5.0, use_pallas=None, mesh=None) -> jnp.ndarray:
     """Boundary-distance-weighted CE (reference CELossDT :33-43).
 
     logits [B, H, W, 2] (query axis already folded), labels [B, H, W].
     ``use_pallas`` selects the EDT backend (None = auto: fused kernel on
-    a single TPU device); config-driven callers pass the gate decision.
+    TPU); config-driven callers pass the gate decision, and a >1-device
+    ``mesh`` makes the kernel shard_map over the batch axis.
     """
     pix, _ = _pixel_ce(logits, labels)
-    weight = edt_boundary_weight(labels, sigma, use_pallas=use_pallas)
+    weight = edt_boundary_weight(labels, sigma, use_pallas=use_pallas,
+                                 mesh=mesh)
     return jnp.sum(pix * weight) / jnp.sum(weight)
 
 
-def get(cfg):
+def get(cfg, mesh=None):
     """Loss factory keyed by ``cfg.loss`` (reference core/losses.py:8-14).
-    The cedt EDT backend is gated by the same predicate as the model
-    kernels (pallas_enabled: single-device mesh only)."""
+    Unlike the fused MODEL kernels (single-device only, mpm.pallas_enabled),
+    the cedt EDT kernel also runs under a >1-device mesh: pass the live
+    ``mesh`` and it wraps itself in shard_map over the batch axis."""
     if cfg.loss == "ce":
         return cross_entropy
     if cfg.loss == "cedt":
         sigma = cfg.sigma
-        from pemp_tpu.ops.pallas.mpm import pallas_enabled
-        up = pallas_enabled(cfg)
+        from pemp_tpu.ops.pallas.mpm import pallas_available
+        tpu = getattr(cfg, "tpu", None)
+        up = bool(tpu is not None and tpu.use_pallas and pallas_available())
         return lambda logits, labels: cedt(logits, labels, sigma,
-                                           use_pallas=up)
+                                           use_pallas=up, mesh=mesh)
     raise ValueError(
         f"Unsupported loss type, got {cfg.loss}. Please choose from [ce, cedt]")
 

@@ -58,7 +58,7 @@ def _vertical_pass(feature: jnp.ndarray) -> jnp.ndarray:
 
 
 def euclidean_distance_transform(feature: jnp.ndarray,
-                                 use_pallas=None) -> jnp.ndarray:
+                                 use_pallas=None, mesh=None) -> jnp.ndarray:
     """Exact EDT: distance from each pixel to the nearest True pixel.
 
     feature: [B, H, W] bool. Returns [B, H, W] f32 distances (``~1e6``
@@ -67,14 +67,16 @@ def euclidean_distance_transform(feature: jnp.ndarray,
     On TPU both phases run as one fused Pallas min-plus matmul each
     (ops/pallas/minplus.py, ~10x the XLA lowering; bit-identical
     wherever any feature pixel exists — tests/test_minplus.py); this
-    jnp implementation is the ground truth and the CPU path.
+    jnp implementation is the ground truth and the CPU path. Under a
+    >1-device mesh pass ``mesh`` so the kernel runs shard_map'd over
+    the batch axis.
     """
     if use_pallas is None:
         from pemp_tpu.ops.pallas.minplus import pallas_available
         use_pallas = pallas_available()
     if use_pallas:
         from pemp_tpu.ops.pallas.minplus import edt2_pallas
-        return jnp.sqrt(edt2_pallas(feature))
+        return jnp.sqrt(edt2_pallas(feature, mesh=mesh))
 
     b, h, w = feature.shape
     g = _vertical_pass(feature)
@@ -123,9 +125,9 @@ def boundary_map(target: jnp.ndarray) -> jnp.ndarray:
 
 
 def edt_boundary_weight(target: jnp.ndarray, sigma: float,
-                        use_pallas=None) -> jnp.ndarray:
+                        use_pallas=None, mesh=None) -> jnp.ndarray:
     """Per-pixel CE weight ``exp(-EDT(boundary)/sigma^2) + 1``
     (reference: core/losses.py:30)."""
     edt = euclidean_distance_transform(boundary_map(target),
-                                       use_pallas=use_pallas)
+                                       use_pallas=use_pallas, mesh=mesh)
     return jnp.exp(-edt / (sigma ** 2)) + 1.0

@@ -82,9 +82,27 @@ def minplus_matmul(a: jnp.ndarray, b: jnp.ndarray,
     return out[:m, :n]
 
 
-def edt2_pallas(feature: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+def edt2_pallas(feature: jnp.ndarray, interpret: bool = False,
+                mesh=None) -> jnp.ndarray:
     """Squared exact EDT of a boolean [B, H, W] feature map via two
-    min-plus matmuls (drop-in for the jnp phases in ops/edt.py)."""
+    min-plus matmuls (drop-in for the jnp phases in ops/edt.py).
+
+    ``mesh``: a >1-device data mesh makes the kernel run under
+    ``shard_map`` over the batch axis — each device transforms its local
+    episodes' boundary maps (the EDT is per-image, so batch sharding is
+    embarrassingly parallel). This is how a pallas_call composes with
+    the GSPMD-jitted train step: bare custom calls have no partitioning
+    rule (tests/test_minplus.py exercises the 8-device CPU mesh)."""
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+        axis = mesh.axis_names[0]
+        # check_vma=False: pallas_call's out_shape carries no varying-
+        # mesh-axes annotation, and the body is per-shard pure anyway
+        return jax.shard_map(
+            lambda f: edt2_pallas(f, interpret=interpret),
+            mesh=mesh, in_specs=P(axis), out_specs=P(axis),
+            check_vma=False)(feature)
+
     b, h, w = feature.shape
     src2 = jnp.where(feature, 0.0, _INF2).astype(jnp.float32)
 

@@ -54,7 +54,8 @@ class Stage2Runtime(EntryRuntime):
         if pallas_enabled(cfg):
             # custom-VJP kernels are safe inside the grad closure too
             # (the prior is argmax'd, so no cotangent reaches stage-1)
-            self.stage1 = self.stage1.clone(use_pallas=True)
+            self.stage1 = self.stage1.clone(use_pallas=True,
+                                            pallas_mesh=self.mesh)
         self.stage1_eval = self.stage1
 
     def _load_stage1(self):

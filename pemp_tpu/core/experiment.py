@@ -46,12 +46,13 @@ class EntryRuntime:
         self.loss_obj = loss_lib.get(cfg, mesh=self.mesh)
         # fused Pallas kernels on TPU for BOTH steps: eval runs the raw
         # forward kernels, the train step differentiates through the
-        # custom-VJP wrappers (pemp_tpu/ops/pallas/mpm_vjp.py). The gate
-        # (single-device mesh only — see its docstring) is shared with
-        # the cedt EDT backend in losses.get.
+        # custom-VJP wrappers (pemp_tpu/ops/pallas/mpm_vjp.py); under a
+        # >1-device mesh the kernels shard_map over the batch axis
+        # (pallas_mesh) since a bare pallas_call has no GSPMD rule.
         from pemp_tpu.ops.pallas.mpm import pallas_enabled
         if pallas_enabled(cfg) and hasattr(self.model, "use_pallas"):
-            self.model = self.model.clone(use_pallas=True)
+            self.model = self.model.clone(use_pallas=True,
+                                          pallas_mesh=self.mesh)
         self.eval_model = self.model
 
     # ---------------- hooks (override per model) -----------------------

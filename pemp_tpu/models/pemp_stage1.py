@@ -50,7 +50,7 @@ class NetConfig:
 
 
 def mpm_predict(sup_fts, qry_fts, sup_fg, sup_bg, ctr, protos, dist_scalar,
-                ret_ind=False, use_pallas=False):
+                ret_ind=False, use_pallas=False, mesh=None):
     """Meta-prototype module + prediction (reference :165-230).
 
     sup_fts [B,S,n,c], qry_fts [B,Q,n,c], masks [B,S,n]; ``ctr`` may be
@@ -61,12 +61,13 @@ def mpm_predict(sup_fts, qry_fts, sup_fg, sup_bg, ctr, protos, dist_scalar,
     (pemp_tpu/ops/pallas/mpm.py, bit-matching the jnp path). The
     ``ret_ind=False`` path goes through the custom-VJP wrappers
     (ops/pallas/mpm_vjp.py) so the kernels also serve the training
-    step under autodiff; ``ret_ind=True`` (visualize) stays on the
-    raw forward kernels.
+    step under autodiff, shard_mapped over ``mesh`` when one is active;
+    ``ret_ind=True`` (visualize) stays on the raw forward kernels
+    (single-device only — under a mesh it falls back to jnp).
     """
     if ctr is not None:
         if use_pallas:
-            if ret_ind:
+            if ret_ind and (mesh is None or mesh.size <= 1):
                 from pemp_tpu.ops.pallas.mpm import (
                     meta_prototype_assign_pallas, prototype_match_pallas)
                 fg_proto, bg_proto = meta_prototype_assign_pallas(
@@ -74,12 +75,10 @@ def mpm_predict(sup_fts, qry_fts, sup_fg, sup_bg, ctr, protos, dist_scalar,
                 return prototype_match_pallas(qry_fts, fg_proto, bg_proto,
                                               dist_scalar,
                                               return_indices=True)
-            from pemp_tpu.ops.pallas.mpm_vjp import (
-                meta_prototype_assign_fused, prototype_match_fused)
-            fg_proto, bg_proto = meta_prototype_assign_fused(
-                sup_fts, sup_fg, sup_bg, ctr, protos)
-            return prototype_match_fused(qry_fts, fg_proto, bg_proto,
-                                         dist_scalar)
+            if not ret_ind:
+                from pemp_tpu.ops.pallas.mpm_vjp import mpm_fused_chain
+                return mpm_fused_chain(sup_fts, sup_fg, sup_bg, qry_fts,
+                                       ctr, protos, dist_scalar, mesh=mesh)
         fg_proto, bg_proto = meta_prototype_assign(
             sup_fts, sup_fg, sup_bg, ctr, protos)
         return prototype_predictions(qry_fts, fg_proto, bg_proto,
@@ -108,6 +107,7 @@ class PEMPStage1(nn.Module):
     dist_scalar: float = 20.0
     dtype: Dtype = jnp.float32
     use_pallas: bool = False    # fused TPU kernels (train via custom VJP)
+    pallas_mesh: Optional[object] = None    # data mesh: kernels shard_map
 
     FROZEN = {"vgg16": [], "resnet50": [r"backbone/.*bn"],
               "resnet101": [r"backbone/.*bn"]}
@@ -152,7 +152,7 @@ class PEMPStage1(nn.Module):
             ctr = None
         out = mpm_predict(sup_fts, qry_fts, sup_fg, sup_bg, ctr,
                           self.protos, self.dist_scalar, ret_ind=ret_ind,
-                          use_pallas=self.use_pallas)
+                          use_pallas=self.use_pallas, mesh=self.pallas_mesh)
 
         if ret_ind:
             logits, indices = out

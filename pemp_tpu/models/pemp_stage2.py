@@ -38,6 +38,7 @@ class PEMPStage2(nn.Module):
     spq: int = 2                    # shot + query images per episode
     dtype: Dtype = jnp.float32
     use_pallas: bool = False        # fused TPU kernels (train via custom VJP)
+    pallas_mesh: Optional[object] = None    # data mesh: kernels shard_map
 
     FROZEN = {"vgg16": [], "resnet50": [r"backbone/.*bn"],
               "resnet101": [r"backbone/.*bn"]}
@@ -90,7 +91,7 @@ class PEMPStage2(nn.Module):
             ctr = None
         out = mpm_predict(sup_fts, qry_fts, sup_fg, sup_bg, ctr,
                           self.protos, self.dist_scalar, ret_ind=ret_ind,
-                          use_pallas=self.use_pallas)
+                          use_pallas=self.use_pallas, mesh=self.pallas_mesh)
 
         if ret_ind:
             logits, indices = out

@@ -55,13 +55,13 @@ def pallas_available() -> bool:
 
 def pallas_enabled(cfg) -> bool:
     """THE config-level gate for every fused kernel (models and the EDT
-    loss). Single-device only: a pallas_call has no GSPMD partitioning
-    rule outside shard_map, so under a >1-device mesh XLA would
-    all-gather its operands — correct but a silent memory/ICI hazard;
-    the jnp paths partition cleanly."""
+    loss). A bare pallas_call has no GSPMD partitioning rule, so under
+    a >1-device mesh every kernel call site must shard_map over the
+    batch axis — the runtime passes the live mesh alongside this flag
+    (models: ``pallas_mesh``; EDT: ``mesh``) and the kernels wrap
+    themselves."""
     tpu = getattr(cfg, "tpu", None)
-    return bool(tpu is not None and tpu.use_pallas and tpu.mesh <= 1
-                and pallas_available())
+    return bool(tpu is not None and tpu.use_pallas and pallas_available())
 
 
 def _round_up(x: int, m: int) -> int:

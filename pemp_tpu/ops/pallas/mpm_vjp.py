@@ -186,3 +186,29 @@ def _match_bwd(dist_scalar, cos_eps, interpret, res, g):
 
 
 prototype_match_fused.defvjp(_match_fwd, _match_bwd)
+
+
+def mpm_fused_chain(sup_fts, sup_fg, sup_bg, qry_fts, ctr, protos,
+                    dist_scalar, mesh=None, interpret=False):
+    """assign -> match through the fused custom-VJP kernels, optionally
+    shard_mapped over the batch axis of ``mesh``.
+
+    Episodes are batch-independent, so under a data mesh each device
+    runs the kernels on its local episodes; the replicated ``ctr``
+    cotangent is psum'd by shard_map's transpose rule (verified against
+    jnp autodiff on an 8-device mesh in tests/test_pallas_vjp.py)."""
+    def chain(sf, fg, bg, qf, c):
+        f, b = meta_prototype_assign_fused(sf, fg, bg, c, protos,
+                                           1e-6, interpret)
+        return prototype_match_fused(qf, f, b, dist_scalar,
+                                     1e-8, interpret)
+
+    if mesh is not None and mesh.size > 1:
+        from jax.sharding import PartitionSpec as P
+        ax = mesh.axis_names[0]
+        return jax.shard_map(
+            chain, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(ax), P(None)),
+            out_specs=P(ax), check_vma=False)(
+                sup_fts, sup_fg, sup_bg, qry_fts, ctr)
+    return chain(sup_fts, sup_fg, sup_bg, qry_fts, ctr)

@@ -1,9 +1,9 @@
 """Pallas kernel gating in the entry runtime.
 
-The fused kernels have no GSPMD partitioning rule (pallas_call is an
-opaque custom call outside shard_map), so the runtime must keep them OFF
-whenever a >1-device mesh is active — the jnp path partitions cleanly —
-and ON for single-device runs when the platform supports them.
+A bare pallas_call has no GSPMD partitioning rule, so under a
+>1-device mesh the kernels must run shard_mapped over the batch axis:
+the runtime passes the live mesh (``pallas_mesh``) whenever it enables
+the fused path, and never enables it on platforms without Pallas.
 """
 
 from pemp_tpu.config import Config
@@ -33,14 +33,15 @@ def _build(mesh, monkeypatch, available):
 def test_single_device_enables_pallas(monkeypatch):
     rt = _build(mesh=0, monkeypatch=monkeypatch, available=True)
     assert rt.model.use_pallas is True
+    assert rt.model.pallas_mesh is None
     assert rt.eval_model.use_pallas is True
 
 
-def test_multi_device_mesh_disables_pallas(monkeypatch):
+def test_multi_device_mesh_passes_shard_map_mesh(monkeypatch):
     rt = _build(mesh=8, monkeypatch=monkeypatch, available=True)
     assert rt.mesh is not None
-    assert rt.model.use_pallas is False
-    assert rt.eval_model.use_pallas is False
+    assert rt.model.use_pallas is True
+    assert rt.model.pallas_mesh is rt.mesh      # kernels will shard_map
 
 
 def test_unavailable_platform_disables_pallas(monkeypatch):

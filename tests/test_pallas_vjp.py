@@ -128,3 +128,41 @@ def test_match_vjp_zero_prototype_no_nan():
     for a, b_ in zip(g1, g2):
         assert np.isfinite(np.asarray(b_)).all()
         _close(a, b_)
+
+
+def test_mpm_fused_chain_shard_map_grads_match_autodiff():
+    """The full assign->match chain shard_mapped over an 8-device data
+    mesh: values and gradients (including the REPLICATED ctr cotangent,
+    which shard_map's transpose must psum across shards) must match
+    jax.grad of the jnp ground truth on the global batch."""
+    import jax
+    from pemp_tpu.ops.pallas.mpm_vjp import mpm_fused_chain
+    from pemp_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = mesh_lib.data_mesh(8)
+
+    rng = np.random.RandomState(13)
+    b, s, n, c, p = 16, 1, 50, 64, 3        # 2 episodes per device
+    sup = jnp.asarray(rng.randn(b, s, n, c).astype(np.float32))
+    qry = jnp.asarray(rng.randn(b, 1, n, c).astype(np.float32))
+    fg = jnp.asarray((rng.rand(b, s, n) > 0.5).astype(np.float32))
+    bg = 1.0 - fg
+    ctr = jnp.asarray(rng.rand(c, 2 * p).astype(np.float32))
+    w = jnp.asarray(rng.randn(b, 1, n, 2).astype(np.float32))
+
+    def loss_ref(sup, qry, ctr):
+        f, g = meta_prototype_assign(sup, fg, bg, ctr, p)
+        return jnp.sum(prototype_predictions(qry, f, g, 20.0) * w)
+
+    def loss_fused(sup, qry, ctr):
+        lg = mpm_fused_chain(sup, fg, bg, qry, ctr, p, 20.0,
+                             mesh=mesh, interpret=True)
+        return jnp.sum(lg * w)
+
+    v1, g1 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2))(sup, qry, ctr)
+    v2, g2 = jax.value_and_grad(loss_fused, argnums=(0, 1, 2))(sup, qry, ctr)
+    _close(v1, v2)
+    for a, b_ in zip(g1, g2):
+        _close(a, b_)

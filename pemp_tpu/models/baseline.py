@@ -20,8 +20,9 @@ from flax import linen as nn
 from pemp_tpu.models import backbones
 from pemp_tpu.models.common import RESNET_LAYERS, output_resize
 from pemp_tpu.models.layers import Conv, Dtype
-from pemp_tpu.ops.prototypes import masked_average_pooling, prototype_predictions
-from pemp_tpu.ops.resize import resize_bilinear_align_corners
+from pemp_tpu.ops.prototypes import (
+    masked_average_pooling_adjoint, prototype_predictions,
+)
 
 
 @dataclass
@@ -71,15 +72,15 @@ class Baseline(nn.Module):
         h, w = fts.shape[1:3]
         c = fts.shape[-1]
         fts = fts.reshape(b, s + q, h, w, c)
-        sup_fts = fts[:, :s].reshape(b * s, h, w, c)
+        sup_fts = fts[:, :s]                                 # [b,s,h,w,c]
         qry_fts = fts[:, s:].reshape(b, q, h * w, c)
 
-        # upsample support features to mask size before pooling (ref :100)
-        sup_fts_up = resize_bilinear_align_corners(sup_fts, (H, W))
-        sup_fts_up = sup_fts_up.reshape(b, s, H * W, c)
-        mask = sup_mask.reshape(b, s, H * W, 2)
-        fg_vecs = masked_average_pooling(sup_fts_up, mask[..., 0])  # [b,s,c]
-        bg_vecs = masked_average_pooling(sup_fts_up, mask[..., 1])
+        # the reference upsamples support features to mask size before
+        # pooling (ref :100); the adjoint form pools the original
+        # features against the down-projected mask — same math, no
+        # [B,S,H,W,c] tensor (tests/test_prototypes.py)
+        fg_vecs = masked_average_pooling_adjoint(sup_fts, sup_mask[..., 0])
+        bg_vecs = masked_average_pooling_adjoint(sup_fts, sup_mask[..., 1])
         fg_proto = jnp.mean(fg_vecs, axis=1)
         bg_proto = jnp.mean(bg_vecs, axis=1)
 

@@ -21,9 +21,9 @@ from pemp_tpu.models import backbones
 from pemp_tpu.models.common import RESNET_LAYERS, output_resize
 from pemp_tpu.models.layers import Conv, Dtype
 from pemp_tpu.ops.prototypes import (
-    masked_average_pooling, prototype_predictions,
+    masked_average_pooling, masked_average_pooling_adjoint,
+    prototype_predictions,
 )
-from pemp_tpu.ops.resize import resize_bilinear_align_corners
 
 
 @dataclass
@@ -74,13 +74,12 @@ class PANet(nn.Module):
         sup_fts = fts[:, :s]                                 # [b,s,h,w,c]
         qry_fts = fts[:, s:].reshape(b, q, h * w, c)
 
-        sup_fts_up = resize_bilinear_align_corners(
-            sup_fts.reshape(b * s, h, w, c), (H, W)).reshape(b, s, H * W, c)
-        mask = sup_mask.reshape(b, s, H * W, 2)
+        # adjoint form of the reference's upsample-then-pool (:100-110):
+        # identical math without the [B,S,H,W,c] tensor
         fg_proto = jnp.mean(
-            masked_average_pooling(sup_fts_up, mask[..., 0]), axis=1)
+            masked_average_pooling_adjoint(sup_fts, sup_mask[..., 0]), axis=1)
         bg_proto = jnp.mean(
-            masked_average_pooling(sup_fts_up, mask[..., 1]), axis=1)
+            masked_average_pooling_adjoint(sup_fts, sup_mask[..., 1]), axis=1)
 
         pred = prototype_predictions(qry_fts, fg_proto, bg_proto,
                                      self.dist_scalar)       # [b,q,n,2]

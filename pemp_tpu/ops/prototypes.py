@@ -49,6 +49,36 @@ def masked_average_pooling(fts: jnp.ndarray, mask: jnp.ndarray,
     return num / den
 
 
+def masked_average_pooling_adjoint(fts: jnp.ndarray, mask: jnp.ndarray,
+                                   eps: float = POOL_EPS) -> jnp.ndarray:
+    """``masked_average_pooling(resize_bilinear_align_corners(fts, HW),
+    mask)`` WITHOUT materializing the upsampled features.
+
+    The reference pools support features after upsampling them to mask
+    resolution (networks/baseline.py:100-110, panet.py) — a [B,S,H,W,c]
+    f32 tensor (~10 GB at 401²/c=512/B=32) that caps the batch size.
+    Bilinear resize is linear, so the pooled numerator equals contracting
+    the ORIGINAL features with the adjoint-projected mask
+    ``R_h^T m R_w`` (exact up to f32 reassociation; the denominator uses
+    the full-resolution mask sum like the reference).
+
+    fts: [B, S, h, w, c] feature-resolution features
+    mask: [B, S, H, W] full-resolution mask
+    returns [B, S, c]
+    """
+    from pemp_tpu.ops.resize import _interp_matrix
+    b, s, h, w, c = fts.shape
+    big_h, big_w = mask.shape[-2:]
+    rh = jnp.asarray(_interp_matrix(h, big_h))              # [H, h]
+    rw = jnp.asarray(_interp_matrix(w, big_w))              # [W, w]
+    m = mask.astype(jnp.float32)
+    mdown = jnp.einsum("Hh,bsHW,Ww->bshw", rh, m, rw, precision=_HI)
+    num = jnp.einsum("bshwc,bshw->bsc", fts.astype(jnp.float32), mdown,
+                     precision=_HI)
+    den = jnp.sum(m, axis=(-1, -2))[..., None] + eps
+    return num / den
+
+
 def _safe_norm(x: jnp.ndarray) -> jnp.ndarray:
     """L2 norm with a zero (not NaN) gradient at the zero vector —
     ``sqrt`` grad at 0 is inf and torch special-cases it to 0; the

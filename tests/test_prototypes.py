@@ -106,3 +106,32 @@ def test_prototype_predictions_multi_max():
         rtol=1e-4, atol=1e-5)
     np.testing.assert_array_equal(
         np.asarray(ind).reshape(B * Q, n, 2), want_ind.numpy())
+
+
+def test_masked_pooling_adjoint_equals_upsample_then_pool():
+    """The adjoint form (down-project the mask through the resize
+    matrices) must reproduce the reference's upsample-then-pool
+    (networks/baseline.py:100-110) to f32-reassociation accuracy."""
+    from pemp_tpu.ops.prototypes import (
+        masked_average_pooling, masked_average_pooling_adjoint,
+    )
+    from pemp_tpu.ops.resize import resize_bilinear_align_corners
+
+    rng = np.random.RandomState(4)
+    b, s, h, w, c, H, W = 2, 2, 7, 9, 16, 41, 57
+    fts = jnp.asarray(rng.randn(b, s, h, w, c).astype(np.float32))
+    mask = jnp.asarray((rng.rand(b, s, H, W) > 0.6).astype(np.float32))
+
+    up = resize_bilinear_align_corners(
+        fts.reshape(b * s, h, w, c), (H, W)).reshape(b, s, H * W, c)
+    want = masked_average_pooling(up, mask.reshape(b, s, H * W))
+    got = masked_average_pooling_adjoint(fts, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+
+    # empty mask: the POOL_EPS denominator keeps it finite and equal
+    zmask = jnp.zeros((b, s, H, W), jnp.float32)
+    zup = masked_average_pooling(up, zmask.reshape(b, s, H * W))
+    zadj = masked_average_pooling_adjoint(fts, zmask)
+    np.testing.assert_allclose(np.asarray(zadj), np.asarray(zup),
+                               rtol=1e-5, atol=1e-7)

@@ -84,9 +84,8 @@ def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240):
             rng.randint(0, 2, (bs, 1, hw, hw)), jnp.int32),
     }
 
-    class _TpuCfg:           # single-device gate for the pallas EDT
-        mesh = 1
-        use_pallas = True
+    class _TpuCfg:           # EDT backend follows the benched arm, so
+        use_pallas = use_pallas and on_tpu   # "jnp" is a FULL jnp step
 
     class _LossCfg:          # loss config surface loss_lib.get expects
         loss = args.loss

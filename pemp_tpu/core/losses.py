@@ -84,16 +84,15 @@ def cedt(logits: jnp.ndarray, labels: jnp.ndarray,
 
 def get(cfg, mesh=None):
     """Loss factory keyed by ``cfg.loss`` (reference core/losses.py:8-14).
-    Unlike the fused MODEL kernels (single-device only, mpm.pallas_enabled),
-    the cedt EDT kernel also runs under a >1-device mesh: pass the live
-    ``mesh`` and it wraps itself in shard_map over the batch axis."""
+    The cedt EDT backend shares the models' kernel gate
+    (mpm.pallas_enabled); pass the live ``mesh`` so the kernel wraps
+    itself in shard_map over the batch axis under a >1-device mesh."""
     if cfg.loss == "ce":
         return cross_entropy
     if cfg.loss == "cedt":
         sigma = cfg.sigma
-        from pemp_tpu.ops.pallas.mpm import pallas_available
-        tpu = getattr(cfg, "tpu", None)
-        up = bool(tpu is not None and tpu.use_pallas and pallas_available())
+        from pemp_tpu.ops.pallas.mpm import pallas_enabled
+        up = pallas_enabled(cfg)
         return lambda logits, labels: cedt(logits, labels, sigma,
                                            use_pallas=up, mesh=mesh)
     raise ValueError(

@@ -93,7 +93,10 @@ def edt2_pallas(feature: jnp.ndarray, interpret: bool = False,
     embarrassingly parallel). This is how a pallas_call composes with
     the GSPMD-jitted train step: bare custom calls have no partitioning
     rule (tests/test_minplus.py exercises the 8-device CPU mesh)."""
-    if mesh is not None and mesh.size > 1:
+    # batches not divisible by the mesh (B=1 init traces, tiny eval
+    # batches) run the plain kernel: replicated-but-correct under GSPMD
+    if (mesh is not None and mesh.size > 1
+            and feature.shape[0] % mesh.size == 0):
         from jax.sharding import PartitionSpec as P
         axis = mesh.axis_names[0]
         # check_vma=False: pallas_call's out_shape carries no varying-

@@ -203,7 +203,12 @@ def mpm_fused_chain(sup_fts, sup_fg, sup_bg, qry_fts, ctr, protos,
         return prototype_match_fused(qf, f, b, dist_scalar,
                                      1e-8, interpret)
 
-    if mesh is not None and mesh.size > 1:
+    # shard_map needs the batch divisible by the mesh; smaller batches
+    # (model.init traces with B=1, host-path eval may use test_bs=1)
+    # run the plain kernels — GSPMD treats the call as replicated, which
+    # is correct and only costs an all-gather on these tiny cases
+    if (mesh is not None and mesh.size > 1
+            and sup_fts.shape[0] % mesh.size == 0):
         from jax.sharding import PartitionSpec as P
         ax = mesh.axis_names[0]
         return jax.shard_map(

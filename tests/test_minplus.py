@@ -122,3 +122,22 @@ def test_sharded_cedt_composition_with_pallas_edt():
     np.testing.assert_allclose(float(v1), float(v2), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=1e-5, atol=1e-7)
+
+
+def test_edt2_pallas_mesh_indivisible_batch_falls_back():
+    """Batches not divisible by the mesh (B=1 init traces, tiny eval
+    batches) must run the plain kernel instead of crashing shard_map."""
+    import jax
+    from pemp_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 8:
+        import pytest
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = mesh_lib.data_mesh(8)
+
+    feat = np.zeros((3, 16, 16), bool)
+    feat[:, 4, 5] = True
+    got = np.asarray(edt2_pallas(jnp.asarray(feat), interpret=True,
+                                 mesh=mesh))
+    want = np.asarray(edt2_pallas(jnp.asarray(feat), interpret=True))
+    np.testing.assert_array_equal(got, want)

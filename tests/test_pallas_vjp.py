@@ -166,3 +166,29 @@ def test_mpm_fused_chain_shard_map_grads_match_autodiff():
     _close(v1, v2)
     for a, b_ in zip(g1, g2):
         _close(a, b_)
+
+
+def test_mpm_fused_chain_mesh_indivisible_batch_falls_back():
+    """B=1 (model.init traces) and mesh-indivisible batches must run the
+    plain kernels instead of crashing on shard_map divisibility —
+    regression for the multi-device init crash."""
+    import jax
+    from pemp_tpu.ops.pallas.mpm_vjp import mpm_fused_chain
+    from pemp_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = mesh_lib.data_mesh(8)
+
+    rng = np.random.RandomState(17)
+    for b in (1, 3):                        # neither divisible by 8
+        sup = jnp.asarray(rng.randn(b, 1, 40, 32).astype(np.float32))
+        qry = jnp.asarray(rng.randn(b, 1, 40, 32).astype(np.float32))
+        fg = jnp.asarray((rng.rand(b, 1, 40) > 0.5).astype(np.float32))
+        bg = 1.0 - fg
+        ctr = jnp.asarray(rng.rand(32, 6).astype(np.float32))
+        got = mpm_fused_chain(sup, fg, bg, qry, ctr, 3, 20.0,
+                              mesh=mesh, interpret=True)
+        f, g = meta_prototype_assign(sup, fg, bg, ctr, 3)
+        want = prototype_predictions(qry, f, g, 20.0)
+        _close(got, want)

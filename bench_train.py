@@ -85,7 +85,9 @@ def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240):
     }
 
     class _TpuCfg:           # EDT backend follows the benched arm, so
-        use_pallas = use_pallas and on_tpu   # "jnp" is a FULL jnp step
+        use_pallas = False   # the "jnp" arm is a FULL jnp step
+
+    _TpuCfg.use_pallas = bool(use_pallas and on_tpu)
 
     class _LossCfg:          # loss config surface loss_lib.get expects
         loss = args.loss

@@ -92,7 +92,12 @@ class Experiment:
         if observed and command in ("train", "test") and cfg.g.fileStorage:
             tag_dir = Path(cfg.g.model_dir) / str(cfg.tag)
             tag_dir.mkdir(parents=True, exist_ok=True)
-            run_id = _next_run_id(tag_dir)
+            if command == "train" and cfg.resume and cfg.exp_id >= 0:
+                # resume REUSES the original run dir — a fresh id would
+                # never see that run's ckpt.msgpack
+                run_id = cfg.exp_id
+            else:
+                run_id = _next_run_id(tag_dir)
             run_dir = tag_dir / str(run_id)
             run_dir.mkdir(parents=True, exist_ok=True)
             with open(run_dir / "config.json", "w") as f:

@@ -19,12 +19,16 @@ from flax import serialization
 
 
 def save(path: Path, variables: Dict[str, Any],
-         opt_state: Any = None, epoch: int = 0) -> Path:
+         opt_state: Any = None, epoch: int = 0,
+         extra: Dict[str, Any] = None) -> Path:
+    """``extra``: small msgpack-able dict of trainer state that must
+    survive resume (best-mIoU tracking, LR-schedule position)."""
     payload = {
         "variables": serialization.to_bytes(jax.device_get(variables)),
         "opt_state": (b"" if opt_state is None else
                       serialization.to_bytes(jax.device_get(opt_state))),
         "epoch": epoch,
+        "extra": extra or {},
     }
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -35,9 +39,9 @@ def save(path: Path, variables: Dict[str, Any],
 
 
 def load(path: Path, target_variables: Dict[str, Any],
-         target_opt_state: Any = None) -> Tuple[Any, Any, int]:
+         target_opt_state: Any = None) -> Tuple[Any, Any, int, Dict]:
     """Restore into pytrees shaped like the targets. Returns
-    (variables, opt_state or None, epoch)."""
+    (variables, opt_state or None, epoch, extra)."""
     payload = serialization.msgpack_restore(Path(path).read_bytes())
     variables = serialization.from_bytes(target_variables,
                                          payload["variables"])
@@ -45,9 +49,10 @@ def load(path: Path, target_variables: Dict[str, Any],
     if target_opt_state is not None and payload.get("opt_state"):
         opt_state = serialization.from_bytes(target_opt_state,
                                              payload["opt_state"])
-    return variables, opt_state, int(payload.get("epoch", 0))
+    return (variables, opt_state, int(payload.get("epoch", 0)),
+            payload.get("extra", {}) or {})
 
 
 def load_variables(path: Path, target_variables: Dict[str, Any]):
-    variables, _, _ = load(path, target_variables)
+    variables, _, _, _ = load(path, target_variables)
     return variables

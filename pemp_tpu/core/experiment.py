@@ -260,7 +260,10 @@ class EntryRuntime:
         val_ds, val_loader = self.wrap_data(val_ds, val_loader, False)
 
         variables = self.init_variables()
-        steps_per_epoch = cfg.data.train_n // cfg.data.bs
+        # per-PROCESS optimizer steps: the train loader is host-sharded,
+        # so global train_n//bs would stretch per-step LR schedules by
+        # process_count under multi-host
+        steps_per_epoch = len(train_loader)
         max_steps = cfg.tr.total_epochs * steps_per_epoch
         tx, opt_state, lr_policy, _ = solver_lib.get(
             cfg.tr, variables["params"], self.frozen_patterns, max_steps)

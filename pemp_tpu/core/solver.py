@@ -109,10 +109,26 @@ class LRPolicy:
             self._lr = cfg.lr_end + (self.base - cfg.lr_end) * (
                 1 + math.cos(math.pi * t / self.max_steps)) / 2
         elif self.policy == "poly":
-            t = self._step
+            # clamp like cosine: step_step() runs once more after the
+            # final step, and a negative base with fractional power
+            # evaluates to a COMPLEX lr in Python
+            t = min(self._step, self.max_steps)
             self._lr = (self.base - cfg.lr_end) * (
                 1 - t / self.max_steps) ** cfg.power + cfg.lr_end
         # plateau: handled in step_epoch
+
+    # --- resume support -------------------------------------------------
+    STATE_KEYS = ("_epoch", "_step", "_lr", "_best", "_bad", "_cooldown")
+
+    def state_dict(self):
+        """Schedule position for checkpointing (incl. plateau state,
+        which cannot be replayed from the epoch count alone)."""
+        return {k: getattr(self, k) for k in self.STATE_KEYS}
+
+    def load_state_dict(self, state):
+        for k in self.STATE_KEYS:
+            if k in state:
+                setattr(self, k, state[k])
 
     def step_step(self):
         """Advance per training step (cosine/poly only)."""

@@ -206,6 +206,13 @@ class Trainer:
         return {"params": self.state.params,
                 "batch_stats": self.state.batch_stats}
 
+    def _resume_extra(self):
+        """Trainer state that must survive resume: without it a resumed
+        run restarts the LR schedule and lets a worse epoch overwrite
+        bestckpt.msgpack."""
+        return {"best_iou": self.best_iou, "best_epoch": self.best_epoch,
+                "lr_policy": self.lr_policy.state_dict()}
+
     def try_snapshot(self, epoch=-1, final=False):
         if final:
             if not self.do_ckpt:
@@ -214,13 +221,15 @@ class Trainer:
                 path = self.model_dir / f"ckpt-{postfix}.msgpack"
             else:
                 path = self.model_dir / "ckpt.msgpack"
-            ckpt_lib.save(path, self._variables(), self.state.opt_state, epoch)
+            ckpt_lib.save(path, self._variables(), self.state.opt_state,
+                          epoch, extra=self._resume_extra())
             self.logger.info(C.c(f" \\_/ Save checkpoint to {path}", C.OKGREEN))
             return path
         if self.do_ckpt and self.cfg.tr.ckpt_epoch > 0 \
                 and epoch % self.cfg.tr.ckpt_epoch == 0:
             path = self.model_dir / "ckpt.msgpack"
-            ckpt_lib.save(path, self._variables(), self.state.opt_state, epoch)
+            ckpt_lib.save(path, self._variables(), self.state.opt_state,
+                          epoch, extra=self._resume_extra())
             return path
 
     def maybe_resume(self) -> int:
@@ -228,14 +237,20 @@ class Trainer:
         path = self.model_dir / "ckpt.msgpack"
         if not path.exists():
             return 0
-        variables, opt_state, epoch = ckpt_lib.load(
+        variables, opt_state, epoch, extra = ckpt_lib.load(
             path, self._variables(), self.state.opt_state)
         self.state = self.state.replace(
             params=variables["params"],
             batch_stats=variables["batch_stats"],
             opt_state=opt_state if opt_state is not None
             else self.state.opt_state)
-        self.logger.info(f"Resumed from {path} at epoch {epoch}")
+        self.best_iou = float(extra.get("best_iou", self.best_iou))
+        self.best_epoch = int(extra.get("best_epoch", self.best_epoch))
+        if "lr_policy" in extra:
+            self.lr_policy.load_state_dict(extra["lr_policy"])
+        self.logger.info(f"Resumed from {path} at epoch {epoch} "
+                         f"(lr {self.lr_policy.lr:.2e}, "
+                         f"best mIoU {self.best_iou:.4f})")
         return epoch
 
     # --- loop -----------------------------------------------------------
@@ -283,7 +298,9 @@ class Trainer:
                             timer.cps)
             timer.reset()
 
-        self.try_snapshot(final=True)
+        # record the reached epoch: a later `resume=True` with a larger
+        # total_epochs continues from here instead of restarting at 0
+        self.try_snapshot(self.cfg.tr.total_epochs, final=True)
 
     def step_lr(self):
         self.lr_policy.step_step()

@@ -31,12 +31,14 @@ RESPONSE_COLORS = np.array([
     [100, 11, 12], [193, 32, 38], [247, 178, 78],
 ], np.uint8)
 
-IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
-IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
-
-def _denorm(rgb: np.ndarray) -> np.ndarray:
-    img = (rgb * IMAGENET_STD + IMAGENET_MEAN) * 255.0
+def _denorm(rgb: np.ndarray, cfg) -> np.ndarray:
+    """Invert the loader normalization with the CONFIGURED mean/std
+    (cfg.data.mean/std — the values the episodes were normalized with,
+    not hard-coded ImageNet constants)."""
+    mean = np.asarray(cfg.data.mean, np.float32)
+    std = np.asarray(cfg.data.std, np.float32)
+    img = (rgb * std + mean) * 255.0
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
@@ -57,9 +59,12 @@ def evaluate_and_save(runtime, max_episodes: int = 50):
     ds.sample_tasks()
     if cfg.p.cls > 0:
         # single-episode mode (reference OneExampleLoader,
-        # data_kits/pascal_voc.py:540-558)
+        # data_kits/pascal_voc.py:540-558); the loader iterates
+        # len(dataset) indices, so the episode count must shrink with
+        # the task list or index 1 raises in the producer thread
         sup = [s for s in str(cfg.p.sup).split(",") if s]
         ds.sampler.tasks = [(cfg.p.cls, sup + [cfg.p.qry])]
+        ds.sampler.n_episodes = 1
 
     variables = runtime.init_variables()
     path = misc.find_snapshot(cfg, cfg.exp_id, cfg.ckpt)
@@ -67,16 +72,23 @@ def evaluate_and_save(runtime, max_episodes: int = 50):
     runtime.logger.info(f"Model initialized from {path}")
     runtime._variables = variables
 
-    jit_vis = jax.jit(lambda v, b: runtime.apply_visualize(v, b))
+    from pemp_tpu.parallel.step import device_batch, unpack_batch
+    # unpack_batch restores the f32 compute dtypes from the f16/uint8
+    # wire format, exactly like the train/eval steps do — without it the
+    # dumped predictions could differ from the test path's on borderline
+    # pixels
+    jit_vis = jax.jit(
+        lambda v, b: runtime.apply_visualize(v, unpack_batch(b)))
 
-    from pemp_tpu.parallel.step import device_batch
+    wire = cfg.tpu.compact_wire
     for i, batch in enumerate(loader):
         if i >= max_episodes or i >= len(ds.sampler.tasks):
             break
         cls = int(batch["cls"][0])
         cname = datasets.get_class_name(cls, cfg.data.dataset)
 
-        logits, response = jit_vis(variables, device_batch(batch))
+        logits, response = jit_vis(
+            variables, device_batch(batch, compact_wire=wire))
         logits = np.asarray(logits, np.float32)[0, 0]       # [h, w, 2]
         response = np.asarray(response)[0, 0]               # [h, w]
 
@@ -113,11 +125,11 @@ def evaluate_and_save(runtime, max_episodes: int = 50):
 
         for j, n in enumerate(sup_names):
             _save(save / f"{cname}_sup_img_{n}.jpg",
-                  _denorm(batch["sup_rgb"][0, j]))
+                  _denorm(batch["sup_rgb"][0, j], cfg))
             _save(save / f"{cname}_sup_msk_{n}.png",
                   (batch["sup_mask"][0, j, :, :, 0] * 255).astype(np.uint8))
         _save(save / f"{cname}_qry_img_{qry_name}.jpg",
-              _denorm(batch["qry_rgb"][0, 0]))
+              _denorm(batch["qry_rgb"][0, 0], cfg))
         _save(save / f"{cname}_qry_msk_{qry_name}.png",
               (label * 255).astype(np.uint8))
         _save(save / f"{cname}_qry_pred_{qry_name}.png",

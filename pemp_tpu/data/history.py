@@ -74,7 +74,10 @@ class CaNetDataAdapter:
         return ep
 
     def update(self, batch, softmax: np.ndarray) -> None:
-        """softmax: [B, Q, h8, w8, 2] feature-res predictions."""
+        """softmax: [B, Q, h8, w8, 2] feature-res predictions. EVERY
+        query's prediction is written back — episodes with query > 1
+        would otherwise leave queries >= 1 on the zeros default
+        forever."""
         for i in range(softmax.shape[0]):
-            self.store.put(batch["cls"][i], batch["qry_names"][i][0],
-                           softmax[i, 0])
+            for j, name in enumerate(batch["qry_names"][i]):
+                self.store.put(batch["cls"][i], name, softmax[i, j])

@@ -92,16 +92,18 @@ def test_checkpoint_roundtrip(tmp_path):
                  "batch_stats": {"m": jnp.ones(2)}}
     opt_state = {"momentum": jnp.zeros(4)}
     path = tmp_path / "ckpt.msgpack"
-    ckpt.save(path, variables, opt_state, epoch=7)
+    ckpt.save(path, variables, opt_state, epoch=7,
+              extra={"best_iou": 0.5})
 
     target_v = {"params": {"w": jnp.zeros(4)},
                 "batch_stats": {"m": jnp.zeros(2)}}
     target_o = {"momentum": jnp.ones(4)}
-    v, o, e = ckpt.load(path, target_v, target_o)
+    v, o, e, extra = ckpt.load(path, target_v, target_o)
     np.testing.assert_array_equal(np.asarray(v["params"]["w"]),
                                   [0, 1, 2, 3])
     np.testing.assert_array_equal(np.asarray(o["momentum"]), np.zeros(4))
     assert e == 7
+    assert extra == {"best_iou": 0.5}
     # weights-only restore from the same file
     v2 = ckpt.load_variables(path, target_v)
     np.testing.assert_array_equal(np.asarray(v2["batch_stats"]["m"]),

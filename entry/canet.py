@@ -54,10 +54,21 @@ class CaNetRuntime(EntryRuntime):
 
     def wrap_data(self, ds, loader, train):
         adapter = CaNetDataAdapter(ds, self.store, train)
-        wrapped = EpisodeLoader(adapter, loader.batch_size,
-                                loader.num_workers, loader.prefetch,
-                                loader.drop_last)
+        wrapped = EpisodeLoader(
+            adapter, loader.batch_size, loader.num_workers,
+            loader.prefetch, loader.drop_last,
+            # keep the multi-host episode sharding of the loader we are
+            # replacing — dropping it would train every episode
+            # process_count times per epoch
+            shard_by_process=loader.shard_by_process)
         return adapter, wrapped
+
+    def test(self):
+        # the auto-test after train must start from virgin history like
+        # a standalone `test` run (the store still holds eval_online
+        # entries for the val split otherwise)
+        self.store.clear()
+        return super().test()
 
     def example_inputs(self, hw: int):
         s, q = self.cfg.shot, self.cfg.query
@@ -86,8 +97,8 @@ class CaNetRuntime(EntryRuntime):
     def _write_history(self, feat_logits, batch):
         soft = _softmax_np(np.asarray(feat_logits, np.float32))
         for i in range(soft.shape[0]):
-            self.store.put(batch["cls"][i], batch["qry_names"][i][0],
-                           soft[i, 0])
+            for j, name in enumerate(batch["qry_names"][i]):
+                self.store.put(batch["cls"][i], name, soft[i, j])
 
     def post_step(self, aux, batch):
         self._write_history(aux["feat_logits"], batch)

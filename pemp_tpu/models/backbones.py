@@ -119,7 +119,11 @@ class CommModule(nn.Module):
         mean = jnp.mean(masked, axis=1).reshape(b, self.spq, c).mean(axis=1)
         mx = jnp.max(masked, axis=1).reshape(b, self.spq, c).mean(axis=1)
         feat = jnp.concatenate([mean, mx], axis=-1)                # [B, 2c]
+        from pemp_tpu.models.layers import torch_bias_init, \
+            torch_conv_default_init
         feat = nn.Dense(self.n, dtype=self.dtype, param_dtype=jnp.float32,
+                        kernel_init=torch_conv_default_init(),
+                        bias_init=torch_bias_init(feat.shape[-1]),
                         name="linear")(feat)                       # [B, n]
         feat = jnp.broadcast_to(feat[:, None, None, None, :],
                                 (b, self.spq, h, w, self.n))

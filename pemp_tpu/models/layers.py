@@ -38,6 +38,18 @@ def torch_conv_default_init():
     return nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 
 
+def torch_bias_init(fan_in: int):
+    """torch Conv2d/Linear default bias: U(-1/sqrt(fan_in), +1/sqrt(fan_in))
+    (flax defaults biases to zeros — a random-init parity difference for
+    every scratch-trained head)."""
+    import jax
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+    return init
+
+
 class Conv(nn.Module):
     """Conv2d with torch padding/dilation conventions, NHWC."""
     features: int
@@ -52,6 +64,7 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         p = self.padding
+        fan_in = self.kernel[0] * self.kernel[1] * x.shape[-1]
         return nn.Conv(
             self.features, self.kernel,
             strides=(self.stride, self.stride),
@@ -61,6 +74,7 @@ class Conv(nn.Module):
             dtype=self.dtype,
             param_dtype=jnp.float32,
             kernel_init=self.kernel_init,
+            bias_init=torch_bias_init(fan_in),
         )(x)
 
 

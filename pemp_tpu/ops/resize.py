@@ -24,19 +24,6 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def _linear_coords(in_size: int, out_size: int):
-    """Gather indices and weights for 1-D align_corners=True interpolation."""
-    if out_size == 1:
-        src = np.zeros((1,), np.float64)
-    else:
-        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
-    i0 = np.clip(np.floor(src).astype(np.int64), 0, in_size - 1)
-    i1 = np.minimum(i0 + 1, in_size - 1)
-    w1 = (src - i0).astype(np.float32)
-    return (jnp.asarray(i0), jnp.asarray(i1),
-            jnp.asarray(1.0 - w1), jnp.asarray(w1))
-
-
 def _nearest_coords(in_size: int, out_size: int):
     src = np.floor(np.arange(out_size, dtype=np.float64) * in_size / out_size)
     return jnp.asarray(np.clip(src.astype(np.int64), 0, in_size - 1))

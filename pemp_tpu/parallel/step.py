@@ -97,19 +97,6 @@ def make_train_step(loss_fn: Callable, tx,
     return step
 
 
-def make_eval_step(apply_fn: Callable, mesh: Optional[Mesh] = None) -> Callable:
-    """Wrap a jittable ``apply_fn(variables, batch) -> outputs`` with
-    device placement. Entries close over variables."""
-    jit_apply = jax.jit(
-        lambda variables, batch: apply_fn(variables, unpack_batch(batch)))
-    shard = batch_sharding(mesh) if mesh is not None else None
-
-    def step(variables, host_batch):
-        return jit_apply(variables, device_batch(host_batch, shard))
-
-    return step
-
-
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
     rep = replicate(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
@@ -139,6 +126,17 @@ class DevicePrefetcher:
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         stop = threading.Event()
 
+        def safe_put(item):
+            # stop-aware: a blocking put would wedge the daemon thread
+            # forever (holding device-resident batches) when the consumer
+            # abandons the generator with the queue full
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.5)
+                    return
+                except queue.Full:
+                    continue
+
         def produce():
             try:
                 for host_batch in self.loader:
@@ -147,16 +145,11 @@ class DevicePrefetcher:
                     dev = dict(host_batch)
                     dev.update(device_batch(host_batch, self.sharding,
                                             self.compact_wire))
-                    while not stop.is_set():
-                        try:
-                            q.put(dev, timeout=0.5)
-                            break
-                        except queue.Full:
-                            continue
+                    safe_put(dev)
             except BaseException as e:
-                q.put(e)
+                safe_put(e)
                 return
-            q.put(None)
+            safe_put(None)
 
         thread = threading.Thread(target=produce, daemon=True)
         thread.start()

@@ -30,8 +30,13 @@ def list_experiments(shot: int):
 
 def list_samples(name: str):
     out = []
+    # the experiment name must be a bare directory name: an absolute
+    # path would make ``STATIC / name`` escape the static root entirely
+    # (pathlib discards the base), and separators/.. would traverse
+    if not name or name != Path(name).name:
+        return out
     exp_dir = STATIC / name
-    if name and ".." not in name and exp_dir.is_dir():
+    if exp_dir.is_dir():
         for ep_dir in sorted(exp_dir.iterdir()):
             data_file = ep_dir / "data.json"
             if not data_file.exists():

@@ -192,7 +192,19 @@ def apply_overrides(cfg: Any, overrides: Dict[str, Any]) -> Any:
             value = _parse_value(value)
         if current is not None and value is not None:
             if isinstance(current, bool):
-                value = bool(value)
+                if isinstance(value, str):
+                    # bool('off') is True — unparseable strings must
+                    # raise, not silently invert the user's intent
+                    low = value.strip().lower()
+                    table = {"true": True, "1": True, "yes": True,
+                             "on": True, "false": False, "0": False,
+                             "no": False, "off": False}
+                    if low not in table:
+                        raise ValueError(
+                            f"Cannot parse boolean for '{key}': {value!r}")
+                    value = table[low]
+                else:
+                    value = bool(value)
             elif isinstance(current, int) and not isinstance(value, bool) \
                     and isinstance(value, (int, float)):
                 value = int(value)

@@ -36,6 +36,14 @@ class Run:
         self.run_dir = run_dir
         self._scalars: Dict[str, List] = {}
         self.observers: List = []   # e.g. observers.MongoRunObserver
+        if run_dir is not None and (run_dir / "metrics.json").exists():
+            # resumed runs reuse the dir: preload the history so the
+            # first post-resume log_scalar doesn't wipe metrics.json
+            try:
+                with open(run_dir / "metrics.json") as f:
+                    self._scalars = json.load(f)
+            except Exception:
+                pass
 
     def log_scalar(self, name: str, value: float, step: int) -> None:
         self._scalars.setdefault(name, []).append([step, float(value)])
@@ -92,18 +100,36 @@ class Experiment:
         if observed and command in ("train", "test") and cfg.g.fileStorage:
             tag_dir = Path(cfg.g.model_dir) / str(cfg.tag)
             tag_dir.mkdir(parents=True, exist_ok=True)
-            if command == "train" and cfg.resume and cfg.exp_id >= 0:
+            resuming = (command == "train" and cfg.resume
+                        and cfg.exp_id >= 0)
+            if resuming:
                 # resume REUSES the original run dir — a fresh id would
                 # never see that run's ckpt.msgpack
                 run_id = cfg.exp_id
+                run_dir = tag_dir / str(run_id)
+                run_dir.mkdir(parents=True, exist_ok=True)
+                # preserve the original provenance (config.json, sources,
+                # REVISION record what produced the earlier epochs);
+                # record the resume invocation separately
+                with open(run_dir / "config.resume.json", "w") as f:
+                    json.dump({k: repr(v) for k, v
+                               in flatten_config(cfg).items()}, f, indent=2)
             else:
-                run_id = _next_run_id(tag_dir)
-            run_dir = tag_dir / str(run_id)
-            run_dir.mkdir(parents=True, exist_ok=True)
-            with open(run_dir / "config.json", "w") as f:
-                json.dump({k: repr(v) for k, v in flatten_config(cfg).items()},
-                          f, indent=2)
-            self._snapshot_sources(run_dir)
+                # atomic id allocation: mkdir(exist_ok=False) + retry,
+                # or concurrent runs on one tag would share a dir and
+                # clobber each other's checkpoints
+                while True:
+                    run_id = _next_run_id(tag_dir)
+                    run_dir = tag_dir / str(run_id)
+                    try:
+                        run_dir.mkdir(parents=True, exist_ok=False)
+                        break
+                    except FileExistsError:
+                        continue
+                with open(run_dir / "config.json", "w") as f:
+                    json.dump({k: repr(v) for k, v
+                               in flatten_config(cfg).items()}, f, indent=2)
+                self._snapshot_sources(run_dir)
         run = Run(run_id, run_dir)
         if command in ("train", "test"):
             from pemp_tpu.utils.observers import maybe_attach

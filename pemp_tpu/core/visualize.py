@@ -49,7 +49,13 @@ def _save(path: Path, arr: np.ndarray):
 def evaluate_and_save(runtime, max_episodes: int = 50):
     cfg = runtime.cfg
     eid = cfg.exp_id if cfg.exp_id >= 0 else 0
-    http_dir = Path("http/static") / (
+    # anchor on the package (override with PEMP_HTTP_STATIC): the viewer
+    # serves http/static relative to ITS file, so a CWD-relative path
+    # would make artifacts invisible when running from elsewhere
+    import os
+    static_root = Path(os.environ.get(
+        "PEMP_HTTP_STATIC", Path(__file__).parents[2] / "http" / "static"))
+    http_dir = static_root / (
         f"{eid}_{cfg.data.dataset.lower()}_{cfg.shot}shot_{cfg.tag}"
         f"_s{cfg.split}{'_misc' if cfg.p.cls > 0 else ''}"
         + (f"_c{cfg.data.one_cls}" if cfg.data.one_cls > 0 else ""))

@@ -10,7 +10,9 @@ fallbacks cover environments without a compiler.
 from __future__ import annotations
 
 import ctypes
+import os
 import subprocess
+import threading
 from pathlib import Path
 from typing import List, Optional
 
@@ -19,6 +21,7 @@ import numpy as np
 _NATIVE_DIR = Path(__file__).parents[2] / "native"
 _LIB: Optional[ctypes.CDLL] = None
 _LIB_TRIED = False
+_LIB_LOCK = threading.Lock()    # loader worker threads race the first build
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
@@ -27,8 +30,13 @@ def _build_lib() -> Optional[ctypes.CDLL]:
     build.mkdir(exist_ok=True)
     so = build / "libcoco_mask.so"
     if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
-        cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", str(so), str(src)]
+        # compile to a temp path + atomic rename: an interrupted in-place
+        # build would leave a corrupt .so with a fresh mtime that the
+        # staleness check above would trust forever
+        tmp = build / f"libcoco_mask.{os.getpid()}.tmp.so"
+        cmd = ["g++", "-O2", "-shared", "-fPIC", "-o", str(tmp), str(src)]
         subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, so)
     lib = ctypes.CDLL(str(so))
     lib.rle_from_string.restype = ctypes.c_int
     lib.rle_from_string.argtypes = [
@@ -47,12 +55,13 @@ def _build_lib() -> Optional[ctypes.CDLL]:
 
 def get_lib() -> Optional[ctypes.CDLL]:
     global _LIB, _LIB_TRIED
-    if not _LIB_TRIED:
-        _LIB_TRIED = True
-        try:
-            _LIB = _build_lib()
-        except Exception:
-            _LIB = None
+    with _LIB_LOCK:     # first call comes from concurrent loader workers
+        if not _LIB_TRIED:
+            _LIB_TRIED = True
+            try:
+                _LIB = _build_lib()
+            except Exception:
+                _LIB = None
     return _LIB
 
 

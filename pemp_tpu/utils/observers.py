@@ -64,6 +64,9 @@ class MongoRunObserver:
             self._dir = Path(run_dir) / "mongo"
             self._dir.mkdir(parents=True, exist_ok=True)
 
+        if self._dir is not None:
+            self._preload_metrics()
+
         self._run_doc = {
             "_id": run_id,
             "format": "MongoObserver-0.7.0",
@@ -86,7 +89,31 @@ class MongoRunObserver:
             "info": {"metrics": []},
             "result": None,
         }
+        for m in self._metrics.values():    # preloaded (resumed) metrics
+            self._run_doc["info"]["metrics"].append(
+                {"name": m["name"], "id": m["_id"]})
         self._write_run()
+
+    def _preload_metrics(self) -> None:
+        """Resumed runs reuse the run dir; keep the pre-resume metric
+        history instead of overwriting the documents with only
+        post-resume points."""
+        path = self._dir / "metrics.json"
+        if not path.exists():
+            return
+        try:
+            with open(path) as f:
+                for line in f:
+                    if not line.strip():
+                        continue
+                    doc = json.loads(line)
+                    doc["timestamps"] = [
+                        datetime.fromisoformat(t["$date"].rstrip("Z"))
+                        if isinstance(t, dict) else t
+                        for t in doc.get("timestamps", [])]
+                    self._metrics[doc["name"]] = doc
+        except Exception:
+            pass
 
     # ------------------------------------------------------------------
     FLUSH_EVERY = 100       # scalars between file flushes

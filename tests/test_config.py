@@ -61,3 +61,20 @@ def test_unobserved_run_has_no_id(tmp_path):
     ex = Experiment("t", cfg)
     _, run = ex.assemble("train", {"split": "0"}, observed=False)
     assert run._id is None
+
+
+def test_bool_override_rejects_unparseable_strings():
+    """bool('off') is True — unparseable boolean strings must raise,
+    not silently invert the user's intent."""
+    import pytest
+    from pemp_tpu.config import Config
+    from pemp_tpu.config.base import apply_overrides
+
+    cfg = apply_overrides(Config(), {"tpu.use_pallas": "off"})
+    assert cfg.tpu.use_pallas is False
+    cfg = apply_overrides(Config(), {"tpu.use_pallas": "ON"})
+    assert cfg.tpu.use_pallas is True
+    for v in ("True", "false", "1", "0", "yes", "no"):
+        apply_overrides(Config(), {"tpu.use_pallas": v})
+    with pytest.raises(ValueError):
+        apply_overrides(Config(), {"tpu.use_pallas": "maybe"})

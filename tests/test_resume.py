@@ -104,6 +104,17 @@ def test_e2e_resume_reuses_run_dir_and_schedule(tmp_path):
     # best-mIoU tracking carried over (never below the pre-resume best)
     assert ck2["extra"]["best_iou"] >= best_after_2
 
+    # the pre-resume metric history survives (the resumed Run preloads
+    # metrics.json instead of rewriting it from an empty dict)
+    metrics = json.loads((run_dir / "metrics.json").read_text())
+    assert len(metrics["train_loss"]) == 4          # epochs 1-4, not 3-4
+    # original provenance preserved; the resume invocation is recorded
+    # separately
+    cfg_json = json.loads((run_dir / "config.json").read_text())
+    assert cfg_json["tr.total_epochs"] == "2"       # phase-1 config intact
+    cfg_resume = json.loads((run_dir / "config.resume.json").read_text())
+    assert cfg_resume["tr.total_epochs"] == "4"
+
     # legacy checkpoints without `extra` still load
     payload = serialization.msgpack_restore(
         (run_dir / "ckpt.msgpack").read_bytes())

@@ -91,3 +91,15 @@ def test_http_endpoints(tmp_path, monkeypatch):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_list_samples_rejects_absolute_and_nested_paths(tmp_path, monkeypatch):
+    """`STATIC / name` with an absolute name escapes the static root
+    entirely (pathlib discards the base) — only bare dir names pass."""
+    viewer = _load_viewer()
+    monkeypatch.setattr(viewer, "STATIC", _make_static(tmp_path))
+    assert viewer.list_samples("/etc") == []
+    assert viewer.list_samples(str(tmp_path)) == []
+    assert viewer.list_samples("a/b") == []
+    assert viewer.list_samples("..") == []
+    assert viewer.list_samples("") == []

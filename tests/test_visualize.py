@@ -12,7 +12,8 @@ def test_visualize_writes_viewer_consumable_artifacts(tmp_path, monkeypatch):
     import entry.pemp_stage1 as e1
     from tests.test_viewer import _load_viewer
 
-    monkeypatch.chdir(tmp_path)      # http/static + model_dir under tmp
+    monkeypatch.chdir(tmp_path)      # model_dir under tmp
+    monkeypatch.setenv("PEMP_HTTP_STATIC", str(tmp_path / "static"))
 
     overrides = {
         "split": "0", "data.dataset": "SYNTH", "data.height": "33",

@@ -96,6 +96,14 @@ class Experiment:
             raise ValueError(
                 f"'split' must be specified in [0, 1, 2, 3], got {cfg.split}")
 
+        if command == "train" and cfg.resume and cfg.exp_id < 0:
+            # without this, a fresh run dir is allocated, no checkpoint
+            # is found there, and training silently restarts from
+            # scratch despite the user's explicit resume intent
+            raise ValueError(
+                "resume=True requires exp_id=<run id of the run to "
+                f"resume> (got exp_id={cfg.exp_id})")
+
         run_id, run_dir = None, None
         if observed and command in ("train", "test") and cfg.g.fileStorage:
             tag_dir = Path(cfg.g.model_dir) / str(cfg.tag)

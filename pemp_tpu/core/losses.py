@@ -19,6 +19,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from pemp_tpu.ops.dtypes import f32up
+
 from pemp_tpu.ops.edt import edt_boundary_weight
 
 IGNORE = 255
@@ -26,7 +28,7 @@ IGNORE = 255
 
 def _pixel_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel CE, 0 at ignored pixels. logits [..., C], labels [...]."""
-    logits = logits.astype(jnp.float32)
+    logits = f32up(logits)
     valid = labels != IGNORE
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     logz = jax.nn.logsumexp(logits, axis=-1)
@@ -60,7 +62,7 @@ def cross_entropy_no_ignore(logits: jnp.ndarray,
                             labels: jnp.ndarray) -> jnp.ndarray:
     """Plain mean CE (reference RPMMs get_loss / PANet align use the
     default CrossEntropyLoss without ignore_index)."""
-    logits = logits.astype(jnp.float32)
+    logits = f32up(logits)
     lbl = labels.astype(jnp.int32)
     logz = jax.nn.logsumexp(logits, axis=-1)
     ll = jnp.take_along_axis(logits, lbl[..., None], axis=-1)[..., 0]
@@ -78,7 +80,7 @@ def cedt(logits: jnp.ndarray, labels: jnp.ndarray,
     """
     pix, _ = _pixel_ce(logits, labels)
     weight = edt_boundary_weight(labels, sigma, use_pallas=use_pallas,
-                                 mesh=mesh)
+                                 mesh=mesh, dtype=pix.dtype)
     return jnp.sum(pix * weight) / jnp.sum(weight)
 
 

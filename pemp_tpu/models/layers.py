@@ -23,6 +23,7 @@ from flax import linen as nn
 from jax import lax
 
 from pemp_tpu.ops.dropblock import dropblock_2d
+from pemp_tpu.ops.dtypes import f32up
 
 Dtype = Any
 
@@ -78,6 +79,44 @@ class Conv(nn.Module):
         )(x)
 
 
+class _TorchBatchNorm(nn.Module):
+    """torch-exact BatchNorm2d core (instantiated as ``BatchNorm_0`` to
+    keep the flax auto-name tree layout of the nn.BatchNorm it replaced).
+
+    Differences vs flax ``nn.BatchNorm`` that matter for training-dynamics
+    parity with the reference (torch ``_BatchNorm.forward``):
+    - the running variance is updated with the UNBIASED batch variance
+      (``n/(n-1)`` correction) while normalization uses the biased one;
+    - batch statistics use the two-pass ``E[(x-mean)^2]`` form (torch),
+      not flax's fast ``E[x^2]-E[x]^2``.
+    """
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if train:
+            xf = f32up(x)
+            red = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=red)
+            var = jnp.mean(jnp.square(xf - mean), axis=red)
+            if not self.is_initializing():
+                n = x.size // c
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = 0.9 * ra_mean.value + 0.1 * mean
+                ra_var.value = 0.9 * ra_var.value + 0.1 * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (f32up(x) - mean) * lax.rsqrt(var + 1e-5)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class BatchNorm(nn.Module):
     """BatchNorm2d with torch defaults. ``train=True`` uses batch stats and
     updates running stats (torch ``.train()``), ``train=False`` uses the
@@ -86,11 +125,7 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, param_dtype=jnp.float32,
-        )(x)
+        return _TorchBatchNorm(dtype=self.dtype, name="BatchNorm_0")(x, train)
 
 
 def max_pool_torch(x: jnp.ndarray, kernel: int, stride: int, padding: int,

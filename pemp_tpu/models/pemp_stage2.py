@@ -20,6 +20,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from pemp_tpu.ops.dtypes import f32up
+
 from pemp_tpu.models import backbones
 from pemp_tpu.models.common import (
     RESNET_LAYERS, PurifierV1, downsample_masks, output_resize,
@@ -58,7 +60,7 @@ class PEMPStage2(nn.Module):
         imgs = jnp.concatenate([sup_img, qry_img], axis=1)
         imgs = imgs.reshape(b * (s + q), H, W, 3)
         sup_prior = sup_mask[..., :1]                       # [B,S,H,W,1] fg
-        prior = jnp.concatenate([sup_prior, qry_prior.astype(jnp.float32)],
+        prior = jnp.concatenate([sup_prior, f32up(qry_prior)],
                                 axis=1).reshape(b * (s + q), H, W, 1)
         inputs = jnp.concatenate([imgs, prior], axis=-1)    # [B(S+Q),H,W,4]
 
@@ -77,7 +79,7 @@ class PEMPStage2(nn.Module):
                 f"Not supported backbone '{self.backbone}'. "
                 "[vgg16, resnet50, resnet101]")
 
-        fts = fts.astype(jnp.float32)
+        fts = f32up(fts)
         h, w = fts.shape[1:3]
         c = fts.shape[-1]
         fts = fts.reshape(b, s + q, h * w, c)

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
 
+from pemp_tpu.ops.dtypes import f32up
+
 from pemp_tpu.models import backbones
 from pemp_tpu.models.common import RESNET_LAYERS, output_resize
 from pemp_tpu.models.layers import ASPP, BatchNorm, Conv, Dropout2d, Dtype
@@ -74,7 +76,7 @@ def pmm_em(rng, x, k, stage_num=10, kappa=20.0, mu0=None):
         mu0 = pmm_mu_init(rng, c, k)
     mu = jnp.broadcast_to(mu0, (b, c, k))
 
-    x = lax.stop_gradient(x.astype(jnp.float32))
+    x = lax.stop_gradient(f32up(x))
 
     def body(_, mu):
         z = kappa * jnp.einsum("bnc,bck->bnk", x, mu, precision=_HI)
@@ -135,7 +137,7 @@ class RPMMs(nn.Module):
             _, f2, f3 = backbone(imgs, train)
             f = jnp.concatenate([f2, f3], axis=-1)
             f = layer5_bn(layer5_conv(f), train)
-            return nn.relu(f).astype(jnp.float32)
+            return f32up(nn.relu(f))
 
         # support and query encoded in SEPARATE calls, support first
         # (reference :222-225) — train-mode BN batch statistics are

@@ -58,7 +58,8 @@ def _vertical_pass(feature: jnp.ndarray) -> jnp.ndarray:
 
 
 def euclidean_distance_transform(feature: jnp.ndarray,
-                                 use_pallas=None, mesh=None) -> jnp.ndarray:
+                                 use_pallas=None, mesh=None,
+                                 dtype=jnp.float32) -> jnp.ndarray:
     """Exact EDT: distance from each pixel to the nearest True pixel.
 
     feature: [B, H, W] bool. Returns [B, H, W] f32 distances (``~1e6``
@@ -76,7 +77,7 @@ def euclidean_distance_transform(feature: jnp.ndarray,
         use_pallas = pallas_available()
     if use_pallas:
         from pemp_tpu.ops.pallas.minplus import edt2_pallas
-        return jnp.sqrt(edt2_pallas(feature, mesh=mesh))
+        return jnp.sqrt(edt2_pallas(feature, mesh=mesh).astype(dtype))
 
     b, h, w = feature.shape
     g = _vertical_pass(feature)
@@ -100,7 +101,9 @@ def euclidean_distance_transform(feature: jnp.ndarray,
         for s in range(0, g2.shape[0], chunk)
     ]
     edt2 = jnp.concatenate(parts, axis=0)[:rows]
-    return jnp.sqrt(edt2).reshape(b, h, w)
+    # the squared distances are exact integers in f32; casting BEFORE the
+    # sqrt keeps a float64 caller (x64 parity tests) bit-faithful
+    return jnp.sqrt(edt2.astype(dtype)).reshape(b, h, w)
 
 
 def boundary_map(target: jnp.ndarray) -> jnp.ndarray:
@@ -125,9 +128,11 @@ def boundary_map(target: jnp.ndarray) -> jnp.ndarray:
 
 
 def edt_boundary_weight(target: jnp.ndarray, sigma: float,
-                        use_pallas=None, mesh=None) -> jnp.ndarray:
+                        use_pallas=None, mesh=None,
+                        dtype=jnp.float32) -> jnp.ndarray:
     """Per-pixel CE weight ``exp(-EDT(boundary)/sigma^2) + 1``
     (reference: core/losses.py:30)."""
     edt = euclidean_distance_transform(boundary_map(target),
-                                       use_pallas=use_pallas, mesh=mesh)
+                                       use_pallas=use_pallas, mesh=mesh,
+                                       dtype=dtype)
     return jnp.exp(-edt / (sigma ** 2)) + 1.0

@@ -24,6 +24,8 @@ from typing import Tuple
 import jax.numpy as jnp
 from jax import lax
 
+from pemp_tpu.ops.dtypes import f32up
+
 # This environment's default matmul precision is bf16-level even on CPU;
 # prototype/cosine math is parity-critical, so every contraction here pins
 # full f32 precision explicitly.
@@ -42,8 +44,8 @@ def masked_average_pooling(fts: jnp.ndarray, mask: jnp.ndarray,
     mask: [..., n]
     returns [..., c]
     """
-    fts = fts.astype(jnp.float32)
-    mask = mask.astype(jnp.float32)
+    fts = f32up(fts)
+    mask = f32up(mask)
     num = jnp.einsum("...nc,...n->...c", fts, mask, precision=_HI)
     den = jnp.sum(mask, axis=-1)[..., None] + eps
     return num / den
@@ -71,9 +73,9 @@ def masked_average_pooling_adjoint(fts: jnp.ndarray, mask: jnp.ndarray,
     big_h, big_w = mask.shape[-2:]
     rh = jnp.asarray(_interp_matrix(h, big_h))              # [H, h]
     rw = jnp.asarray(_interp_matrix(w, big_w))              # [W, w]
-    m = mask.astype(jnp.float32)
+    m = f32up(mask)
     mdown = jnp.einsum("Hh,bsHW,Ww->bshw", rh, m, rw, precision=_HI)
-    num = jnp.einsum("bshwc,bshw->bsc", fts.astype(jnp.float32), mdown,
+    num = jnp.einsum("bshwc,bshw->bsc", f32up(fts), mdown,
                      precision=_HI)
     den = jnp.sum(m, axis=(-1, -2))[..., None] + eps
     return num / den
@@ -96,8 +98,8 @@ def cosine_similarity(x: jnp.ndarray, y: jnp.ndarray,
     x: [..., n, c], y: [..., k, c] (broadcast-compatible leading dims)
     returns [..., n, k]
     """
-    x = x.astype(jnp.float32)
-    y = y.astype(jnp.float32)
+    x = f32up(x)
+    y = f32up(y)
     dot = jnp.einsum("...nc,...kc->...nk", x, y, precision=_HI)
     xn = _safe_norm(x)[..., :, None]
     yn = _safe_norm(y)[..., None, :]
@@ -154,8 +156,8 @@ def meta_prototype_assign(sup_fts: jnp.ndarray,
 
     Returns (fg_proto, bg_proto), each [B, p, c].
     """
-    f = sup_fts.astype(jnp.float32)
-    ctr = ctr.astype(jnp.float32)
+    f = f32up(sup_fts)
+    ctr = f32up(ctr)
     b, s, n, c = f.shape
     k2 = 2 * protos
 
@@ -168,7 +170,7 @@ def meta_prototype_assign(sup_fts: jnp.ndarray,
     dist = dist.reshape(b, s, n, 2, protos)
     assign = jnp.exp(dist - jnp.max(dist, axis=-1, keepdims=True))
     assign = assign / jnp.sum(assign, axis=-1, keepdims=True)   # softmax over p
-    mask = jnp.stack([sup_fg, sup_bg], axis=-1).astype(jnp.float32)  # [B,S,n,2]
+    mask = f32up(jnp.stack([sup_fg, sup_bg], axis=-1))  # [B,S,n,2]
     assign = assign * mask[..., None]                           # [B,S,n,2,p]
     assign = assign.reshape(b, s, n, k2)
 

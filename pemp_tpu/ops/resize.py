@@ -21,6 +21,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from pemp_tpu.ops.dtypes import f32up
 import numpy as np
 
 
@@ -64,7 +66,7 @@ def resize_bilinear_align_corners(x: jnp.ndarray, out_hw, spatial_axes=(-3, -2))
     if (in_h, in_w) == (out_h, out_w):
         return x
     dtype = x.dtype
-    xf = x.astype(jnp.float32)
+    xf = f32up(x)
 
     hi = jax.lax.Precision.HIGHEST
     if in_h != out_h:

@@ -41,9 +41,14 @@ class MongoRunObserver:
     """One run's Sacred-schema sink (live Mongo or mongoimport files)."""
 
     def __init__(self, name: str, run_id: int, command: str, config: Dict,
-                 port: int = 7000, run_dir: Optional[Path] = None):
+                 port: int = 7000, run_dir: Optional[Path] = None,
+                 tag: str = ""):
         self.name = name
         self.run_id = run_id
+        # the db is keyed by experiment name only while file run ids are
+        # allocated per TAG — namespace the Mongo _id by tag or runs under
+        # different tags of one experiment silently clobber each other
+        self.doc_id = f"{tag}/{run_id}" if tag else run_id
         self._metrics: Dict[str, Dict] = {}
         self._db = None
         self._dir = None
@@ -64,11 +69,17 @@ class MongoRunObserver:
             self._dir = Path(run_dir) / "mongo"
             self._dir.mkdir(parents=True, exist_ok=True)
 
+        prev_run = None
         if self._dir is not None:
             self._preload_metrics()
+        else:
+            # DB mode resume: metric arrays grow in place via $push, but
+            # start_time and the info.metrics link list live on the run
+            # doc and must survive the replace below
+            prev_run = self._db.runs.find_one({"_id": self.doc_id})
 
         self._run_doc = {
-            "_id": run_id,
+            "_id": self.doc_id,
             "format": "MongoObserver-0.7.0",
             "experiment": {"name": name, "base_dir": str(Path.cwd()),
                            "sources": [], "dependencies": [],
@@ -92,6 +103,18 @@ class MongoRunObserver:
         for m in self._metrics.values():    # preloaded (resumed) metrics
             self._run_doc["info"]["metrics"].append(
                 {"name": m["name"], "id": m["_id"]})
+        if prev_run is not None:            # DB-mode resume
+            if prev_run.get("start_time") is not None:
+                self._run_doc["start_time"] = prev_run["start_time"]
+            for link in prev_run.get("info", {}).get("metrics", []):
+                if link not in self._run_doc["info"]["metrics"]:
+                    self._run_doc["info"]["metrics"].append(link)
+                    # mark as known so log_scalar $pushes instead of
+                    # re-linking
+                    self._metrics[link["name"]] = {
+                        "_id": link["id"], "name": link["name"],
+                        "run_id": self.run_id, "_db_linked": True,
+                        "steps": [], "values": [], "timestamps": []}
         self._write_run()
 
     def _preload_metrics(self) -> None:
@@ -120,22 +143,39 @@ class MongoRunObserver:
     FLUSH_SECS = 30.0       # ... or at most this long between flushes
 
     def log_scalar(self, metric: str, value: float, step: int) -> None:
+        now = _now()
         m = self._metrics.get(metric)
-        if m is None:
+        fresh = m is None
+        if fresh:
             m = self._metrics[metric] = {
-                "_id": f"{self.run_id}.{metric}",
+                "_id": f"{self.doc_id}.{metric}",
                 "name": metric, "run_id": self.run_id,
                 "steps": [], "values": [], "timestamps": []}
             self._run_doc["info"]["metrics"].append(
                 {"name": metric, "id": m["_id"]})
+        self._run_doc["heartbeat"] = now
+        if self._db is not None:
+            # incremental $push (arrays grow server-side) — a per-scalar
+            # replace_one would resend the whole history: O(n^2) bytes
+            self._db.metrics.update_one(
+                {"_id": m["_id"]},
+                {"$setOnInsert": {"name": metric, "run_id": self.run_id},
+                 "$push": {"steps": int(step), "values": float(value),
+                           "timestamps": now}},
+                upsert=True)
+            self._pending += 1
+            # run-doc writes (heartbeat + metric links) batched like the
+            # file mode; a fresh metric flushes immediately so Omniboard
+            # sees the link
+            if (fresh or self._pending >= self.FLUSH_EVERY
+                    or time.monotonic() - self._last_flush > self.FLUSH_SECS):
+                self._pending = 0
+                self._last_flush = time.monotonic()
+                self._write_run()
+            return
         m["steps"].append(int(step))
         m["values"].append(float(value))
-        m["timestamps"].append(_now())
-        self._run_doc["heartbeat"] = _now()
-        if self._db is not None:
-            self._write_metric(m)
-            self._write_run()
-            return
+        m["timestamps"].append(now)
         # file mode rewrites full documents (mongoimport has no $push),
         # so batch the disk writes — per-scalar rewriting would be
         # O(total^2) bytes over a training run
@@ -166,16 +206,10 @@ class MongoRunObserver:
     # ------------------------------------------------------------------
     def _write_run(self) -> None:
         if self._db is not None:
-            self._db.runs.replace_one({"_id": self.run_id}, self._run_doc,
+            self._db.runs.replace_one({"_id": self.doc_id}, self._run_doc,
                                       upsert=True)
         else:
             self._dump("runs.json", [self._run_doc])
-
-    def _write_metric(self, m: Dict) -> None:
-        if self._db is not None:
-            self._db.metrics.replace_one({"_id": m["_id"]}, m, upsert=True)
-        else:
-            self._dump("metrics.json", list(self._metrics.values()))
 
     def _dump(self, fname: str, docs: List[Dict]) -> None:
         # MongoDB extended JSON: one document per line (mongoimport's
@@ -207,4 +241,5 @@ def maybe_attach(run, cfg, name: str, command: str) -> None:
     config = {k: repr(v) for k, v in flatten_config(cfg).items()}
     run.observers.append(MongoRunObserver(
         name, run._id, command, config,
-        port=cfg.g.mongo_port, run_dir=run.run_dir))
+        port=cfg.g.mongo_port, run_dir=run.run_dir,
+        tag=str(getattr(cfg, "tag", "") or "")))

@@ -20,8 +20,13 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# Opt-in ON-CHIP suite (VERDICT r2 item 2): PEMP_TPU_TESTS=1 leaves the
+# platform alone so `pytest -m tpu tests/test_tpu_onchip.py` runs the
+# compiled-kernel bit-parity checks on the real TPU; otherwise force the
+# normal (CPU, 8-virtual-device) suite environment.
+if os.environ.get("PEMP_TPU_TESTS") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
-import jax  # noqa: E402  (already preloaded by sitecustomize anyway)
+    import jax  # noqa: E402  (already preloaded by sitecustomize anyway)
 
-jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_platforms", "cpu")

@@ -78,3 +78,13 @@ def test_bool_override_rejects_unparseable_strings():
         apply_overrides(Config(), {"tpu.use_pallas": v})
     with pytest.raises(ValueError):
         apply_overrides(Config(), {"tpu.use_pallas": "maybe"})
+
+
+def test_resume_without_exp_id_raises(tmp_path):
+    """ADVICE r2: resume=True with exp_id unset must fail loudly instead
+    of silently training from scratch in a fresh run dir."""
+    cfg = make_cfg()
+    cfg.g.model_dir = str(tmp_path)
+    ex = Experiment("t", cfg)
+    with pytest.raises(ValueError, match="resume"):
+        ex.assemble("train", {"split": "1", "resume": "True"})

@@ -85,3 +85,18 @@ def test_maybe_attach_gating(tmp_path):
 def test_observer_requires_run_dir_without_mongo():
     with pytest.raises(RuntimeError):
         MongoRunObserver("baseline", 1, "train", {}, run_dir=None)
+
+
+def test_observer_tag_namespaces_doc_ids(tmp_path):
+    """Runs under different tags of one experiment must not share doc
+    _ids (ADVICE r2: replace_one(upsert) would silently clobber the
+    earlier run's document in a name-keyed db)."""
+    a = MongoRunObserver("baseline", 1, "train", {}, run_dir=tmp_path,
+                         tag="drop0")
+    b = MongoRunObserver("baseline", 1, "train", {},
+                         run_dir=tmp_path / "other", tag="drop5")
+    assert a.doc_id != b.doc_id
+    a.log_scalar("loss", 1.0, 0)
+    a.finish()
+    m = _read_docs(tmp_path / "mongo" / "metrics.json")[0]
+    assert m["_id"].startswith("drop0/")

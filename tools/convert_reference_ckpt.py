@@ -34,7 +34,9 @@ def _set(tree, path, value):
     if node[path[-1]].shape != value.shape:
         raise ValueError(f"{'/'.join(path)}: {node[path[-1]].shape} "
                          f"vs {value.shape}")
-    node[path[-1]] = value.astype(np.float32)
+    # keep the destination tree's dtype (f32 for real checkpoints; the
+    # float64 gradient-parity oracles map f64 grads through this path)
+    node[path[-1]] = value.astype(node[path[-1]].dtype)
 
 
 def _conv(params, path, sd, key, bias=True):

@@ -1,0 +1,106 @@
+"""Worker for tests/test_distributed_2proc.py (NOT collected by pytest).
+
+Runs the REAL multi-process path: ``initialize_distributed()`` via the
+explicit COORDINATOR_ADDRESS env (pemp_tpu/parallel/mesh.py:85-89), a
+global data mesh over all processes' CPU devices, the framework's
+``make_train_step`` (donated state, wire-format batch, GSPMD gradient
+all-reduce) on a deterministic global batch, and the rank-sharded
+episode range. Results are dumped as JSON for the parent to compare
+across ranks and against the single-process run.
+
+Usage: python tests/distributed_worker.py <out.json>
+(single-process reference when COORDINATOR_ADDRESS is unset)
+"""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from pemp_tpu.core import losses as loss_lib
+from pemp_tpu.core import solver
+from pemp_tpu.core.trainer import TrainState
+from pemp_tpu.parallel.mesh import (
+    data_mesh, initialize_distributed, process_episode_range,
+)
+from pemp_tpu.parallel.step import make_train_step, replicate_state
+
+N_EPISODES = 8
+HW = 17
+STEPS = 2
+LR = 0.05
+
+
+class TinyNet(nn.Module):
+    @nn.compact
+    def __call__(self, x):                       # [B, Q, H, W, 3]
+        b, q, h, w, c = x.shape
+        x = x.reshape(b * q, h, w, c)
+        x = nn.relu(nn.Conv(8, (3, 3), padding="SAME")(x))
+        x = nn.Conv(2, (1, 1))(x)
+        return x.reshape(b, q, h, w, 2)
+
+
+def main(out_path):
+    distributed = initialize_distributed()
+    rank = jax.process_index()
+    world = jax.process_count()
+
+    mesh = data_mesh()                           # ALL global devices
+    model = TinyNet()
+
+    rng = np.random.RandomState(0)               # same stream everywhere
+    qry = rng.randn(N_EPISODES, 1, HW, HW, 3).astype(np.float32)
+    msk = rng.randint(0, 2, (N_EPISODES, 1, HW, HW)).astype(np.int32)
+
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(qry[:1]))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+
+    mask = solver.trainable_mask(params, [])
+    from types import SimpleNamespace
+    tx = solver.make_optimizer(
+        SimpleNamespace(opt="sgd", sgd_momentum=0.9, sgd_nesterov=False,
+                        weight_decay=5e-4, grad_clip=1.1), mask)
+    state = TrainState(params, {}, tx.init(params))
+    state = replicate_state(state, mesh)
+
+    def loss_fn(p, batch_stats, batch, step_rng):
+        logits = model.apply({"params": p}, batch["qry_rgb"])
+        loss = loss_lib.cross_entropy(
+            logits.reshape(-1, HW, HW, 2),
+            batch["qry_msk"].reshape(-1, HW, HW))
+        return loss, (batch_stats, {})
+
+    step = make_train_step(loss_fn, tx, mesh)
+    losses = []
+    for i in range(STEPS):
+        state, loss, _ = step(
+            state, {"qry_rgb": qry, "qry_msk": msk}, LR,
+            jax.random.PRNGKey(i))
+        losses.append(float(loss))
+
+    flat = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, state.params))
+    start, stop = process_episode_range(N_EPISODES)
+    json.dump({
+        "distributed": bool(distributed),
+        "rank": int(rank),
+        "world": int(world),
+        "n_global_devices": jax.device_count(),
+        "n_local_devices": jax.local_device_count(),
+        "episode_range": [int(start), int(stop)],
+        "losses": losses,
+        "param_sum": float(sum(np.abs(leaf).sum() for leaf in flat)),
+        "params": [leaf.ravel().tolist() for leaf in flat],
+    }, open(out_path, "w"))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1])

@@ -1,10 +1,15 @@
 """StableHLO serving export: the serialized artifact must round-trip
-through jax.export and reproduce the live model's logits exactly."""
+through jax.export and reproduce the live model's logits exactly —
+for EVERY model family (VERDICT r2 item 7). The interesting extra-input
+cases: stage-2's prior channel, CaNet's feature-resolution history mask,
+RPMMs' pmm rng plumbing (baked at export) and last-pyramid-output
+selection."""
 
 import sys
 from pathlib import Path
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -14,15 +19,32 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 from tools.convert_reference_ckpt import build_init_trees
 from tools.export_serving import build_serving_fn
 
+FAMILIES = [
+    ("baseline", "vgg16"),
+    ("pemp_stage1", "resnet50"),
+    ("pemp_stage2", "resnet50"),
+    ("panet", "vgg16"),
+    ("canet", "resnet50"),
+    ("rpmms", "resnet50"),
+    ("pfenet", "resnet50v2"),
+]
 
-def test_serving_export_roundtrip_baseline():
+
+@pytest.mark.parametrize("family,backbone", FAMILIES,
+                         ids=[f for f, _ in FAMILIES])
+def test_serving_export_roundtrip(family, backbone):
     from jax import export
 
-    model, params, stats = build_init_trees("baseline", "vgg16", shot=1)
-    variables = {"params": params, "batch_stats": stats}
-    b, hw = 2, 33
-    serve, specs = build_serving_fn("baseline", model, variables,
-                                    b, 1, 1, hw)
+    model, params, stats = build_init_trees(family, backbone, shot=1)
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    b = 1
+    hw = 41 if family == "pfenet" else 33       # pfenet: (hw-1) % 8 == 0
+    serve, specs = build_serving_fn(family, model, variables, b, 1, 1, hw)
+
+    n_extra = {"pemp_stage2": 1, "canet": 1}.get(family, 0)
+    assert len(specs) == 3 + n_extra
 
     exported = export.export(serve)(*specs)
     data = exported.serialize()
@@ -30,37 +52,16 @@ def test_serving_export_roundtrip_baseline():
     restored = export.deserialize(data)
 
     rng = np.random.RandomState(0)
-    sup = jnp.asarray(rng.randn(b, 1, hw, hw, 3).astype(np.float32))
+    inputs = [jnp.asarray(rng.randn(*s.shape).astype(np.float32))
+              for s in specs]
+    # masks/priors as {0,1} maps, not gaussians
     fg = (rng.rand(b, 1, hw, hw, 1) > 0.5).astype(np.float32)
-    msk = jnp.asarray(np.concatenate([fg, 1 - fg], -1))
-    qry = jnp.asarray(rng.randn(b, 1, hw, hw, 3).astype(np.float32))
+    inputs[1] = jnp.asarray(np.concatenate([fg, 1 - fg], -1))
+    if family == "pemp_stage2":
+        inputs[3] = jnp.asarray(
+            (rng.rand(*specs[3].shape) > 0.5).astype(np.float32))
 
-    want = np.asarray(serve(sup, msk, qry))
-    got = np.asarray(restored.call(sup, msk, qry))
+    want = np.asarray(serve(*inputs))
+    got = np.asarray(restored.call(*inputs))
     assert want.shape == (b, 1, hw, hw, 2)
-    np.testing.assert_array_equal(got, want)
-
-
-def test_serving_export_stage2_extra_input():
-    from jax import export
-
-    model, params, stats = build_init_trees("pemp_stage2", "resnet50",
-                                            shot=1)
-    variables = {"params": params, "batch_stats": stats}
-    b, hw = 1, 33
-    serve, specs = build_serving_fn("pemp_stage2", model, variables,
-                                    b, 1, 1, hw)
-    assert len(specs) == 4                      # + stage-1 prior channel
-    exported = export.export(serve)(*specs)
-    restored = export.deserialize(exported.serialize())
-
-    rng = np.random.RandomState(1)
-    sup = jnp.asarray(rng.randn(b, 1, hw, hw, 3).astype(np.float32))
-    fg = (rng.rand(b, 1, hw, hw, 1) > 0.5).astype(np.float32)
-    msk = jnp.asarray(np.concatenate([fg, 1 - fg], -1))
-    qry = jnp.asarray(rng.randn(b, 1, hw, hw, 3).astype(np.float32))
-    prior = jnp.asarray((rng.rand(b, 1, hw, hw) > 0.5).astype(np.float32))
-
-    want = np.asarray(serve(sup, msk, qry, prior))
-    got = np.asarray(restored.call(sup, msk, qry, prior))
     np.testing.assert_array_equal(got, want)

@@ -1,0 +1,176 @@
+#!/usr/bin/env python
+"""Model-zoo + deployed-cascade eval throughput on the real chip
+(VERDICT r2 items 6 & 8).
+
+Rows:
+- ``cascade1`` / ``cascade5``: the DEPLOYED PEMP headline path — frozen
+  stage-1 forward -> on-device argmax prior -> stage-2 forward -> counts,
+  both models in ONE jitted program at 401² (reference
+  entry/pemp_stage2.py:58-65; the zoo table's ``pemp_stage2`` row
+  measures stage-2's forward alone).
+- ``canet321`` / ``rpmms481`` / ``pfenet473``: zoo rows at the REFERENCE
+  PRESET resolutions (reference scripts/canet.sh:13 321², rpmms.sh:13
+  481², pfenet.sh:13 473²) — the all-401² r2 zoo table did not reflect
+  those protocols.
+
+Timing discipline (CLAUDE.md): device-resident inputs, several launches
+per round accumulated on device, a VALUE fetch closes each window,
+best-of-rounds within a budget, per-launch-latency slow-tunnel
+detection.
+
+Usage: python tools/bench_zoo.py [row ...]   (default: all rows)
+Prints one JSON line per row.
+"""
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+LAUNCHES = 3
+BUDGET_S = 120
+EXTEND_S = 240
+SLOW_LAUNCH_S = 5.0
+
+
+def episode_arrays(rng, b, s, q, hw):
+    sup = jnp.asarray(rng.randn(b, s, hw, hw, 3).astype(np.float32))
+    fg = (rng.rand(b, s, hw, hw, 1) > 0.5).astype(np.float32)
+    msk = jnp.asarray(np.concatenate([fg, 1 - fg], -1))
+    qry = jnp.asarray(rng.randn(b, q, hw, hw, 3).astype(np.float32))
+    return sup, msk, qry
+
+
+def bench_fn(fn, batch, on_tpu):
+    """Best-of-rounds episodes/s for ``fn()`` -> device array."""
+    for _ in range(2):
+        fn().block_until_ready()
+    best, best_launch = 0.0, float("inf")
+    deadline = time.time() + (BUDGET_S if on_tpu else 10)
+    hard_stop = time.time() + (BUDGET_S + EXTEND_S if on_tpu else 10)
+    while True:
+        tic = time.perf_counter()
+        acc = None
+        for _ in range(LAUNCHES):
+            out = fn()
+            acc = out if acc is None else acc + out
+        np.asarray(acc)                    # value fetch closes the window
+        dt = time.perf_counter() - tic
+        best = max(best, LAUNCHES * batch / dt)
+        best_launch = min(best_launch, dt / LAUNCHES)
+        now = time.time()
+        if now > deadline and (best_launch <= SLOW_LAUNCH_S or not on_tpu):
+            return best
+        if now > hard_stop:
+            return best
+
+
+def row_cascade(shot, on_tpu, dtype):
+    from pemp_tpu.core.metrics import tp_fp_fn
+    from pemp_tpu.models.pemp_stage1 import PEMPStage1
+    from pemp_tpu.models.pemp_stage2 import PEMPStage2
+
+    hw = 401 if on_tpu else 33
+    b = (32 if shot == 1 else 12) if on_tpu else 2
+    s1 = PEMPStage1(backbone="resnet50", dtype=dtype, use_pallas=on_tpu)
+    s2 = PEMPStage2(backbone="resnet50", spq=shot + 1, dtype=dtype,
+                    use_pallas=on_tpu)
+
+    rng = np.random.RandomState(0)
+    sup, msk, qry = episode_arrays(rng, b, shot, 1, hw)
+    ref = jnp.asarray(rng.randint(0, 2, (b, hw, hw)).astype(np.int32))
+
+    v1 = jax.jit(lambda a, m, q: s1.init(
+        {"params": jax.random.PRNGKey(0)}, a, m, q, out_hw=None))(
+        sup[:1], msk[:1], qry[:1])
+    prior0 = jnp.zeros((1, 1, hw, hw))
+    v2 = jax.jit(lambda a, m, q, p: s2.init(
+        {"params": jax.random.PRNGKey(1)}, a, m, q, p, out_hw=None))(
+        sup[:1], msk[:1], qry[:1], prior0)
+
+    @jax.jit
+    def step(v1, v2, sup, msk, qry, ref):
+        lg1 = s1.apply(v1, sup, msk, qry, out_hw=(hw, hw), train=False)
+        prior = jnp.argmax(lg1, axis=-1).astype(jnp.float32)  # [B,Q,H,W]
+        lg2 = s2.apply(v2, sup, msk, qry, prior, out_hw=(hw, hw),
+                       train=False)
+        pred = jnp.argmax(lg2, axis=-1).astype(jnp.int32)
+        refs = jnp.repeat(ref, pred.shape[1], axis=0)
+        return jax.vmap(tp_fp_fn)(pred.reshape(-1, hw, hw), refs).sum(0)
+
+    eps = bench_fn(lambda: step(v1, v2, sup, msk, qry, ref), b, on_tpu)
+    return {"metric": f"pemp cascade s1+s2 {shot}-shot eval eps/s/chip "
+                      f"({hw}x{hw}, B={b})",
+            "value": round(eps, 1), "unit": "episodes/s"}
+
+
+def row_model(name, hw_tpu, batch_tpu, on_tpu, dtype):
+    hw = hw_tpu if on_tpu else 33
+    b = batch_tpu if on_tpu else 2
+    rng = np.random.RandomState(0)
+    sup, msk, qry = episode_arrays(rng, b, 1, 1, hw)
+    extra, rngs = (), None
+
+    if name == "canet":
+        from pemp_tpu.models.canet import CaNet
+        model = CaNet(dtype=dtype)
+        h8 = -(-hw // 8)
+        extra = (jnp.zeros((b, 1, h8, h8, 2)),)
+    elif name == "rpmms":
+        from pemp_tpu.models.rpmms import RPMMs
+        model = RPMMs(dtype=dtype)
+        rngs = {"pmm": jax.random.PRNGKey(0)}
+    else:
+        from pemp_tpu.models.pfenet import PFENet
+        model = PFENet(shot=1, dtype=dtype)
+
+    init_rngs = {"params": jax.random.PRNGKey(0)}
+    if rngs:
+        init_rngs.update(rngs)
+    variables = jax.jit(lambda a, m, q, *e: model.init(
+        init_rngs, a, m, q, *e, out_hw=None))(
+        sup[:1], msk[:1], qry[:1], *(e[:1] for e in extra))
+
+    @jax.jit
+    def step(v, sup, msk, qry, *extra):
+        out = model.apply(v, sup, msk, qry, *extra, out_hw=None,
+                          train=False, rngs=rngs)
+        if isinstance(out, (tuple, list)):
+            out = out[-1] if name == "rpmms" else out[0]
+        return jnp.argmax(out, axis=-1).astype(jnp.int32).sum((1, 2, 3))
+
+    eps = bench_fn(lambda: step(variables, sup, msk, qry, *extra),
+                   b, on_tpu)
+    return {"metric": f"{name} 1-shot eval eps/s/chip ({hw}x{hw}, "
+                      f"B={b}, preset res)",
+            "value": round(eps, 1), "unit": "episodes/s"}
+
+
+ROWS = {
+    "cascade1": lambda on, dt: row_cascade(1, on, dt),
+    "cascade5": lambda on, dt: row_cascade(5, on, dt),
+    "canet321": lambda on, dt: row_model("canet", 321, 32, on, dt),
+    "rpmms481": lambda on, dt: row_model("rpmms", 481, 16, on, dt),
+    "pfenet473": lambda on, dt: row_model("pfenet", 473, 8, on, dt),
+}
+
+
+def main():
+    rows = sys.argv[1:] or list(ROWS)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    for r in rows:
+        print(json.dumps(ROWS[r](on_tpu, dtype)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

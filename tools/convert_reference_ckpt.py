@@ -215,6 +215,9 @@ def _build_model(name: str, backbone: str, shot: int):
     if name == "pemp_stage2":
         from pemp_tpu.models.pemp_stage2 import PEMPStage2
         return PEMPStage2(backbone=backbone, spq=shot + 1)
+    if name == "panet":
+        from pemp_tpu.models.panet import PANet
+        return PANet(backbone=backbone)
     if name == "canet":
         from pemp_tpu.models.canet import CaNet
         return CaNet()

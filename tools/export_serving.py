@@ -55,8 +55,11 @@ def build_serving_fn(model_name: str, model, variables, batch, shot,
     def serve(*inputs):
         out = model.apply(variables, *inputs, out_hw=(hw, hw),
                           train=False, rngs=rngs)
-        if isinstance(out, (tuple, list)):      # pfenet aux outputs
-            out = out[0]
+        if isinstance(out, (tuple, list)):
+            # rpmms: the FINAL pyramid output drives the prediction
+            # (entry/rpmms.py apply_eval, reference rpmms.py get_pred);
+            # pfenet (main, aux) / panet (logits, align): the first
+            out = out[-1] if model_name == "rpmms" else out[0]
         return out
 
     return serve, specs
@@ -66,7 +69,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True,
                     choices=["baseline", "pemp_stage1", "pemp_stage2",
-                             "canet", "rpmms", "pfenet"])
+                             "panet", "canet", "rpmms", "pfenet"])
     ap.add_argument("--backbone", default="resnet50")
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--out", required=True)

@@ -26,13 +26,28 @@ from pemp_tpu.ops.edt import edt_boundary_weight
 IGNORE = 255
 
 
+def _label_logit(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """logits[..., labels] as a VECTORIZED one-hot contraction.
+
+    ``take_along_axis`` here lowers to an XLA gather that the TPU backend
+    serializes onto the scalar unit — profiled at 9.2 ms/step (30% of
+    the whole bs=4 train step!) for a [4,401,401,2] logits map
+    (tools/profile_train.py). The one-hot multiply-sum is a pure VPU
+    fusion, and its transpose (the backward) is a multiply instead of a
+    scatter."""
+    c = logits.shape[-1]
+    classes = jnp.arange(c, dtype=labels.dtype)
+    onehot = (labels[..., None] == classes).astype(logits.dtype)
+    return jnp.sum(logits * onehot, axis=-1)
+
+
 def _pixel_ce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Per-pixel CE, 0 at ignored pixels. logits [..., C], labels [...]."""
     logits = f32up(logits)
     valid = labels != IGNORE
     safe = jnp.where(valid, labels, 0).astype(jnp.int32)
     logz = jax.nn.logsumexp(logits, axis=-1)
-    ll = jnp.take_along_axis(logits, safe[..., None], axis=-1)[..., 0]
+    ll = _label_logit(logits, safe)
     return jnp.where(valid, logz - ll, 0.0), valid
 
 
@@ -65,7 +80,7 @@ def cross_entropy_no_ignore(logits: jnp.ndarray,
     logits = f32up(logits)
     lbl = labels.astype(jnp.int32)
     logz = jax.nn.logsumexp(logits, axis=-1)
-    ll = jnp.take_along_axis(logits, lbl[..., None], axis=-1)[..., 0]
+    ll = _label_logit(logits, lbl)
     return jnp.mean(logz - ll)
 
 

@@ -17,6 +17,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from pemp_tpu.ops.dtypes import f32up
+
 from pemp_tpu.models import backbones
 from pemp_tpu.models.common import RESNET_LAYERS, output_resize
 from pemp_tpu.models.layers import Conv, Dtype
@@ -68,7 +70,7 @@ class Baseline(nn.Module):
             raise ValueError(
                 f"Not supported backbone '{self.backbone}'. [vgg16, resnet50]")
 
-        fts = fts.astype(jnp.float32)
+        fts = f32up(fts)
         h, w = fts.shape[1:3]
         c = fts.shape[-1]
         fts = fts.reshape(b, s + q, h, w, c)

@@ -25,6 +25,8 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
+from pemp_tpu.ops.dtypes import f32up
+
 from pemp_tpu.models import backbones
 from pemp_tpu.models.common import RESNET_LAYERS, output_resize
 from pemp_tpu.models.layers import (
@@ -106,7 +108,7 @@ class CaNet(nn.Module):
                                       name="backbone")(imgs, train)
         del f1
 
-        feat = jnp.concatenate([f2, f3], axis=-1).astype(jnp.float32)
+        feat = f32up(jnp.concatenate([f2, f3], axis=-1))
         feat = ConvReluDrop(256, (3, 3), padding=2, dilation=2,
                             drop_rate=self.drop_rate, dtype=self.dtype,
                             name="layer5")(feat, train)

@@ -109,10 +109,9 @@ class PANet(nn.Module):
                                          self.dist_scalar)   # [b,s,n,2]
         sup_logits = output_resize(sup_pred.reshape(b, s, h, w, 2), (H, W))
 
-        # plain mean CE (reference uses F.cross_entropy without ignore)
+        # plain mean CE (reference uses F.cross_entropy without ignore);
+        # cross_entropy_no_ignore's one-hot form avoids the TPU
+        # scalar-unit gather a full-res take_along_axis lowers to
+        from pemp_tpu.core.losses import cross_entropy_no_ignore
         labels = sup_mask_fg.astype(jnp.int32)               # [b,s,H,W]
-        logits2 = sup_logits.reshape(-1, 2)
-        lbl = labels.reshape(-1)
-        logz = jax.nn.logsumexp(logits2, axis=-1)
-        ll = jnp.take_along_axis(logits2, lbl[:, None], axis=-1)[:, 0]
-        return jnp.mean(logz - ll)
+        return cross_entropy_no_ignore(sup_logits, labels)

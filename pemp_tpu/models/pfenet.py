@@ -27,6 +27,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 from jax import lax
 
+from pemp_tpu.ops.dtypes import f32up
+
 from pemp_tpu.models.layers import (
     BatchNorm, Conv, Dropout2d, Dtype, max_pool_torch,
 )
@@ -142,7 +144,7 @@ def adaptive_avg_pool(x: jnp.ndarray, out_size: int) -> jnp.ndarray:
         hi = [-(-((i + 1) * size) // out_size) for i in range(out_size)]
         return lo, hi
 
-    ys = jnp.cumsum(x.astype(jnp.float32), axis=1)
+    ys = jnp.cumsum(f32up(x), axis=1)
     ys = jnp.concatenate([jnp.zeros((n, 1, w, c), jnp.float32), ys], axis=1)
     lo, hi = bounds(h)
     rows = jnp.stack([(ys[:, b] - ys[:, a]) / (b - a)
@@ -167,6 +169,7 @@ class ConvReluDropHead(nn.Module):
     """conv3x3 -> relu -> dropout(0.1) -> conv1x1 to classes (the ``cls``
     and ``inner_cls`` heads, reference :82-87, :124-129)."""
     classes: int = 2
+    drop_rate: float = 0.1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -174,13 +177,16 @@ class ConvReluDropHead(nn.Module):
         x = Conv(256, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
                  name="conv")(x)
         x = nn.relu(x)
-        x = Dropout2d(0.1, name="drop")(x, train)
+        x = Dropout2d(self.drop_rate, name="drop")(x, train)
         return Conv(self.classes, (1, 1), dtype=self.dtype, name="cls")(x)
 
 
 class PFENet(nn.Module):
     shot: int = 1
     ppm_scales: Tuple[int, ...] = (60, 30, 15, 8)
+    # (cls/inner_cls head rate, down_query/down_supp rate); zeroed by the
+    # train-parity tests whose torch mirrors carry Identity in these slots
+    drop_rates: Tuple[float, float] = (0.1, 0.5)
     dtype: Dtype = jnp.float32
 
     # the whole trunk is gradient-free (reference :169-174)
@@ -203,7 +209,7 @@ class PFENet(nn.Module):
 
         # --- query features (gradient-free trunk) ---
         x = qry_img.reshape(b, H, W, 3)
-        q1, q2, q3, q4 = [lax.stop_gradient(f.astype(jnp.float32))
+        q1, q2, q3, q4 = [lax.stop_gradient(f32up(f))
                           for f in trunk(x, train)]
         query_feat = jnp.concatenate([q3, q2], axis=-1)
         query_feat = self._down(query_feat, "down_query", train)
@@ -213,14 +219,14 @@ class PFENet(nn.Module):
         h4 = q4.shape[1]
         supp_feats, corr_masks = [], []
         for i in range(self.shot):
-            mask = (sup_mask[:, i, :, :, 0] == 1.0).astype(jnp.float32)[..., None]
+            mask = f32up(sup_mask[:, i, :, :, 0] == 1.0)[..., None]
             s_out = trunk(sup_img[:, i], train, stages=3)
-            s2, s3 = [lax.stop_gradient(f.astype(jnp.float32))
+            s2, s3 = [lax.stop_gradient(f32up(f))
                       for f in (s_out[1], s_out[2])]
             mask_f = resize_bilinear_align_corners(mask, s3.shape[1:3])
             # layer4 on the masked layer3 features, shared weights (ref :193)
             s4 = lax.stop_gradient(
-                trunk.run_layer4(s3 * mask_f, train).astype(jnp.float32))
+                f32up(trunk.run_layer4(s3 * mask_f, train)))
 
             feat = jnp.concatenate([s3, s2], axis=-1)
             feat = self._down(feat, "down_supp", train)
@@ -259,6 +265,7 @@ class PFENet(nn.Module):
                                     name=f"beta_conv_{idx}_{bj}")(beta))
             merge = beta + merge
             aux_outs.append(ConvReluDropHead(
+                drop_rate=self.drop_rates[0],
                 dtype=self.dtype, name=f"inner_cls_{idx}")(merge, train))
             pyramid_feats.append(
                 resize_bilinear_align_corners(merge, (h, w)))
@@ -271,7 +278,8 @@ class PFENet(nn.Module):
             res2 = nn.relu(Conv(256, (3, 3), padding=1, use_bias=False,
                                 dtype=self.dtype, name=f"res2_{bj}")(res2))
         feat = res2 + feat
-        out = ConvReluDropHead(dtype=self.dtype, name="cls")(feat, train)
+        out = ConvReluDropHead(drop_rate=self.drop_rates[0],
+                               dtype=self.dtype, name="cls")(feat, train)
 
         def finish(o):
             o = o.reshape(b, 1, *o.shape[1:])
@@ -287,7 +295,8 @@ class PFENet(nn.Module):
         feat = Conv(256, (1, 1), use_bias=False, dtype=self.dtype,
                     name=f"{name}_conv")(feat)
         feat = nn.relu(feat)
-        return Dropout2d(0.5, name=f"{name}_drop")(feat, train)
+        return Dropout2d(self.drop_rates[1],
+                         name=f"{name}_drop")(feat, train)
 
     def _prior(self, q4, s4_masked, mask4):
         """Training-free prior (reference :201-231): cosine correlation of

@@ -454,3 +454,116 @@ def test_rpmms_train_grad_parity():
     want, _ = torch_to_trees("rpmms", "resnet50", grad_sd(ref),
                              params, stats)
     assert_tree_close(grads, want, what="rpmms-grad")
+
+
+def test_canet_train_grad_parity():
+    """CaNet: dense-comparison head + history-residual refinement + ASPP
+    on the CE(ignore 255) backward path, train-mode BN batch statistics
+    throughout (reference canet.py:131-209)."""
+    from pemp_tpu.models.canet import CaNet
+
+    torch.manual_seed(14)
+    rng = np.random.RandomState(14)
+    ref = tm.TorchCaNet()
+    tm.randomize_all_bns(ref, rng)
+    ref.train()
+
+    sup_img, sup_mask, qry_img = episode(rng)
+    h8 = w8 = 7                                  # feature res for 49x49
+    history = rng.rand(B, Q, h8, w8, 2).astype(np.float64)
+    labels = make_labels(rng)
+    model = CaNet(drop_rate=0.0, dtype=jnp.float64)
+    params, stats = setup_trees(
+        model, ref, "canet", "resnet50",
+        (jnp.asarray(sup_img), jnp.asarray(sup_mask),
+         jnp.asarray(qry_img), jnp.asarray(history)), {"out_hw": (H, W)})
+
+    labels_j = jnp.asarray(labels)
+    labels_t = torch.from_numpy(labels.astype(np.int64))
+
+    def run_loss(p):
+        out, mut = model.apply(
+            {"params": p, "batch_stats": stats},
+            jnp.asarray(sup_img), jnp.asarray(sup_mask),
+            jnp.asarray(qry_img), jnp.asarray(history),
+            out_hw=(H, W), train=True, mutable=["batch_stats"])
+        return loss_lib.cross_entropy(out.reshape(B * Q, H, W, 2),
+                                      labels_j)
+
+    with jax.default_matmul_precision("highest"):
+        loss, grads = jax.value_and_grad(run_loss)(params)
+
+    out_t = ref(nchw(sup_img), nchw(sup_mask), nchw(qry_img),
+                torch.from_numpy(history).permute(0, 1, 4, 2, 3)
+                .contiguous())
+    tl = F.cross_entropy(out_t, labels_t, ignore_index=255)
+    tl.backward()
+    np.testing.assert_allclose(float(loss), float(tl.detach()), rtol=1e-9)
+    want, _ = torch_to_trees("canet", "resnet50", grad_sd(ref),
+                             params, stats)
+    assert_tree_close(grads, want, what="canet-grad")
+
+
+def test_pfenet_train_grad_parity():
+    """PFENet: stop-gradded frozen trunk (grads must be EXACTLY zero on
+    every backbone leaf), training-free prior, enrichment pyramid, and
+    main CE + mean per-scale aux CE backward (reference pfenet.py:169-174,
+    :276-284)."""
+    from flax import traverse_util as tu
+
+    from pemp_tpu.models.pfenet import PFENet
+
+    torch.manual_seed(15)
+    rng = np.random.RandomState(15)
+    bins = (8, 4, 3)
+    ref = tm.TorchPFENet(shot=1, pyramid_bins=bins)
+    tm.randomize_all_bns(ref, rng)
+    ref.train()
+
+    sup_img, sup_mask, qry_img = episode(rng)
+    labels = make_labels(rng)
+    model = PFENet(shot=1, ppm_scales=bins, drop_rates=(0.0, 0.0),
+                   dtype=jnp.float64)
+    params, stats = setup_trees(
+        model, ref, "pfenet", "resnet50v2",
+        (jnp.asarray(sup_img), jnp.asarray(sup_mask),
+         jnp.asarray(qry_img)), {"out_hw": (H, W)})
+
+    labels_j = jnp.asarray(labels)
+    labels_t = torch.from_numpy(labels.astype(np.int64))
+
+    def run_loss(p):
+        (out, aux), mut = model.apply(
+            {"params": p, "batch_stats": stats},
+            jnp.asarray(sup_img), jnp.asarray(sup_mask),
+            jnp.asarray(qry_img), out_hw=(H, W), train=True,
+            mutable=["batch_stats"])
+        main = loss_lib.cross_entropy(out.reshape(B * Q, H, W, 2),
+                                      labels_j)
+        aux_l = loss_lib.pfenet_aux_loss(list(aux), labels_j)
+        return main + aux_l
+
+    with jax.default_matmul_precision("highest"):
+        loss, grads = jax.value_and_grad(run_loss)(params)
+
+    out_t, aux_t = ref(nchw(sup_img), nchw(sup_mask), nchw(qry_img))
+    tl = F.cross_entropy(out_t, labels_t, ignore_index=255) \
+        + sum(F.cross_entropy(a, labels_t, ignore_index=255)
+              for a in aux_t) / len(aux_t)
+    tl.backward()
+    np.testing.assert_allclose(float(loss), float(tl.detach()), rtol=1e-9)
+
+    # the stop_gradient trunk: backbone grads exactly zero
+    for k, g in tu.flatten_dict(grads).items():
+        if k[0] == "backbone":
+            assert np.all(np.asarray(g) == 0.0), "/".join(map(str, k))
+
+    want, _ = torch_to_trees("pfenet", "resnet50v2", grad_sd(ref),
+                             params, stats)
+    # 3e-7, not REL: the pyramid's inter-scale resizes (bins 8/4/3 over
+    # 7x7 features) have non-dyadic ratios whose align-corners weights
+    # are f32 constants in our matmul-form resize (ops/resize.py
+    # _interp_matrix) vs torch's f64 interpolation — a deliberate shared
+    # constant, bounded at ~1e-7. Every other family only hits exact
+    # dyadic ratios (weights exact in f32), hence the tighter REL there.
+    assert_tree_close(grads, want, rel=3e-7, what="pfenet-grad")

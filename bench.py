@@ -91,26 +91,13 @@ def main():
         elapsed = time.perf_counter() - tic
         return launches * batch / elapsed, elapsed / launches
 
-    # The device link warms up over the first launches and throughput can
-    # vary wildly between rounds (shared tunnel); take the best of many
-    # short rounds within a bounded time budget. If EVERY round fell into
-    # the tunnel's pathological mode, extend the window — a single fast
-    # round is representative, an all-slow window is not (observed: the
-    # slow mode can hold for minutes and once recorded 3.3 eps/s for a
-    # build that measures 750 in the fast mode).
-    eps = 0.0
-    best_launch_s = float("inf")
-    deadline = time.time() + (BUDGET_S if on_tpu else 30)
-    hard_stop = time.time() + (BUDGET_S + EXTEND_S if on_tpu else 30)
-    for _ in range(ROUNDS):
-        round_eps, launch_s = timed_round()
-        eps = max(eps, round_eps)
-        best_launch_s = min(best_launch_s, launch_s)
-        now = time.time()
-        if now > deadline and (best_launch_s <= SLOW_LAUNCH_S or not on_tpu):
-            break
-        if now > hard_stop:
-            break
+    # Best-of-rounds with slow-tunnel extension (observed: the slow mode
+    # can hold for minutes and once recorded 3.3 eps/s for a build that
+    # measures 750 in the fast mode) — shared heuristic, one copy.
+    from pemp_tpu.utils.benchtime import best_of_rounds
+    eps = best_of_rounds(timed_round, on_tpu, budget_s=BUDGET_S,
+                         extend_s=EXTEND_S, slow_launch_s=SLOW_LAUNCH_S,
+                         max_rounds=ROUNDS)
     print(json.dumps({
         "metric": "PEMP-s1 r50 1-shot eval episodes/sec/chip "
                   f"({hw}x{hw}, B={batch}, "

@@ -63,16 +63,25 @@ def build_step(model, loss_obj, lr=1e-3):
     return tx, step
 
 
-def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240):
+def make_bench_setup(args, use_pallas):
+    """PEMP-s1 train-step setup shared by bench_one and
+    tools/profile_train (one copy of the synthetic batch, the
+    loss-config shim, jit-init and optimizer wiring, so the profiler
+    cannot desynchronize from the benchmark it explains).
+
+    args needs .hw/.bs/.loss; off-chip the shapes shrink to 33²/bs=2.
+    Returns (step, tx, params, batch_stats, opt_state, batch, bs, hw).
+    """
     from pemp_tpu.core import losses as loss_lib
     from pemp_tpu.models.pemp_stage1 import PEMPStage1
 
     on_tpu = jax.devices()[0].platform == "tpu"
     hw, bs = (args.hw, args.bs) if on_tpu else (33, 2)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    use_pallas = bool(use_pallas and on_tpu)
 
     model = PEMPStage1(backbone="resnet50", dtype=dtype,
-                       use_pallas=use_pallas and on_tpu)
+                       use_pallas=use_pallas)
 
     rng = np.random.RandomState(0)
     fg = (rng.rand(bs, 1, hw, hw, 1) > 0.5).astype(np.float32)
@@ -85,9 +94,9 @@ def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240):
     }
 
     class _TpuCfg:           # EDT backend follows the benched arm, so
-        use_pallas = False   # the "jnp" arm is a FULL jnp step
+        pass                 # the "jnp" arm is a FULL jnp step
 
-    _TpuCfg.use_pallas = bool(use_pallas and on_tpu)
+    _TpuCfg.use_pallas = use_pallas
 
     class _LossCfg:          # loss config surface loss_lib.get expects
         loss = args.loss
@@ -103,8 +112,14 @@ def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240):
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx, step = build_step(model, loss_obj)
-    import optax  # noqa: F401  (tx built above)
     opt_state = tx.init(params)
+    return step, tx, params, batch_stats, opt_state, batch, bs, hw
+
+
+def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240):
+    on_tpu = jax.devices()[0].platform == "tpu"
+    step, tx, params, batch_stats, opt_state, batch, bs, hw = (
+        make_bench_setup(args, use_pallas))
     key = jax.random.PRNGKey(1)
 
     lowered = step.lower(params, batch_stats, opt_state, batch, key)

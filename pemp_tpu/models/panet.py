@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from pemp_tpu.core.losses import cross_entropy_no_ignore
 from pemp_tpu.ops.dtypes import f32up
 
 from pemp_tpu.models import backbones
@@ -112,6 +113,5 @@ class PANet(nn.Module):
         # plain mean CE (reference uses F.cross_entropy without ignore);
         # cross_entropy_no_ignore's one-hot form avoids the TPU
         # scalar-unit gather a full-res take_along_axis lowers to
-        from pemp_tpu.core.losses import cross_entropy_no_ignore
         labels = sup_mask_fg.astype(jnp.int32)               # [b,s,H,W]
         return cross_entropy_no_ignore(sup_logits, labels)

@@ -45,10 +45,7 @@ class MongoRunObserver:
                  tag: str = ""):
         self.name = name
         self.run_id = run_id
-        # the db is keyed by experiment name only while file run ids are
-        # allocated per TAG — namespace the Mongo _id by tag or runs under
-        # different tags of one experiment silently clobber each other
-        self.doc_id = f"{tag}/{run_id}" if tag else run_id
+        self.tag = tag
         self._metrics: Dict[str, Dict] = {}
         self._db = None
         self._dir = None
@@ -71,15 +68,33 @@ class MongoRunObserver:
 
         prev_run = None
         if self._dir is not None:
+            # file mode: the run dir is already tag-scoped, keep the bare
+            # int id (Sacred/Omniboard sort runs by integer _id)
+            self.doc_id = run_id
             self._preload_metrics()
         else:
-            # DB mode resume: metric arrays grow in place via $push, but
-            # start_time and the info.metrics link list live on the run
-            # doc and must survive the replace below
-            prev_run = self._db.runs.find_one({"_id": self.doc_id})
+            # DB mode: file run ids are allocated PER TAG while the db is
+            # keyed by experiment name only, so a (tag, run_id) pair from
+            # another tag must not clobber this one. Sacred-style: reuse
+            # the doc previously allocated for THIS (tag, run_id) — the
+            # resume path, whose metric arrays grow in place via $push and
+            # whose start_time/info.metrics must survive the replace below
+            # — else allocate the next integer _id from the collection.
+            prev_run = self._db.runs.find_one(
+                {"pemp_tag": tag, "pemp_run_id": run_id})
+            if prev_run is not None:
+                self.doc_id = prev_run["_id"]
+            else:
+                top = self._db.runs.find_one(
+                    {"_id": {"$type": "number"}}, sort=[("_id", -1)])
+                self.doc_id = int(top["_id"]) + 1 if top else 1
 
         self._run_doc = {
             "_id": self.doc_id,
+            # provenance fields resolving the db id back to the per-tag
+            # file run (also what the DB-mode resume lookup keys on)
+            "pemp_tag": tag,
+            "pemp_run_id": run_id,
             "format": "MongoObserver-0.7.0",
             "experiment": {"name": name, "base_dir": str(Path.cwd()),
                            "sources": [], "dependencies": [],
@@ -113,7 +128,7 @@ class MongoRunObserver:
                     # re-linking
                     self._metrics[link["name"]] = {
                         "_id": link["id"], "name": link["name"],
-                        "run_id": self.run_id, "_db_linked": True,
+                        "run_id": self.doc_id, "_db_linked": True,
                         "steps": [], "values": [], "timestamps": []}
         self._write_run()
 
@@ -149,7 +164,7 @@ class MongoRunObserver:
         if fresh:
             m = self._metrics[metric] = {
                 "_id": f"{self.doc_id}.{metric}",
-                "name": metric, "run_id": self.run_id,
+                "name": metric, "run_id": self.doc_id,
                 "steps": [], "values": [], "timestamps": []}
             self._run_doc["info"]["metrics"].append(
                 {"name": metric, "id": m["_id"]})
@@ -159,7 +174,7 @@ class MongoRunObserver:
             # replace_one would resend the whole history: O(n^2) bytes
             self._db.metrics.update_one(
                 {"_id": m["_id"]},
-                {"$setOnInsert": {"name": metric, "run_id": self.run_id},
+                {"$setOnInsert": {"name": metric, "run_id": self.doc_id},
                  "$push": {"steps": int(step), "values": float(value),
                            "timestamps": now}},
                 upsert=True)

@@ -22,9 +22,16 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
 
 # Opt-in ON-CHIP suite (VERDICT r2 item 2): PEMP_TPU_TESTS=1 leaves the
 # platform alone so `pytest -m tpu tests/test_tpu_onchip.py` runs the
-# compiled-kernel bit-parity checks on the real TPU; otherwise force the
-# normal (CPU, 8-virtual-device) suite environment.
-if os.environ.get("PEMP_TPU_TESTS") != "1":
+# compiled-kernel bit-parity checks on the real TPU. The env var alone
+# is not enough — a stale `export PEMP_TPU_TESTS=1` must not send the
+# whole CPU suite through the tunneled TPU backend — so the invocation
+# must also actually target the tpu tests ("-m tpu" or the onchip
+# module on the command line).
+import sys
+
+_tpu_invocation = any(
+    a == "tpu" or "test_tpu_onchip" in a for a in sys.argv[1:])
+if not (os.environ.get("PEMP_TPU_TESTS") == "1" and _tpu_invocation):
     os.environ["JAX_PLATFORMS"] = "cpu"
 
     import jax  # noqa: E402  (already preloaded by sitecustomize anyway)

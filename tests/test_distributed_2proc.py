@@ -55,7 +55,15 @@ def test_two_process_world_matches_single_process(tmp_path):
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(2)
     ]
-    logs = [p.communicate(timeout=TIMEOUT_S)[0] for p in procs]
+    try:
+        logs = [p.communicate(timeout=TIMEOUT_S)[0] for p in procs]
+    finally:
+        # a failed rendezvous (stale port, one rank dying pre-init) must
+        # not leak workers holding the coordinator port past the test
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
     for p, log in zip(procs, logs):
         assert p.returncode == 0, f"worker failed:\n{log[-4000:]}"
 

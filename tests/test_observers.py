@@ -87,16 +87,132 @@ def test_observer_requires_run_dir_without_mongo():
         MongoRunObserver("baseline", 1, "train", {}, run_dir=None)
 
 
-def test_observer_tag_namespaces_doc_ids(tmp_path):
-    """Runs under different tags of one experiment must not share doc
-    _ids (ADVICE r2: replace_one(upsert) would silently clobber the
-    earlier run's document in a name-keyed db)."""
+def test_observer_file_mode_keeps_integer_ids(tmp_path):
+    """File mode: run dirs are already tag-scoped, so the doc keeps the
+    bare integer _id (Sacred/Omniboard sort runs by numeric _id)."""
     a = MongoRunObserver("baseline", 1, "train", {}, run_dir=tmp_path,
                          tag="drop0")
     b = MongoRunObserver("baseline", 1, "train", {},
                          run_dir=tmp_path / "other", tag="drop5")
-    assert a.doc_id != b.doc_id
+    assert a.doc_id == 1 and b.doc_id == 1
     a.log_scalar("loss", 1.0, 0)
     a.finish()
+    run = _read_docs(tmp_path / "mongo" / "runs.json")[0]
+    assert run["_id"] == 1
+    # provenance fields still resolve the doc back to the per-tag run
+    assert run["pemp_tag"] == "drop0" and run["pemp_run_id"] == 1
     m = _read_docs(tmp_path / "mongo" / "metrics.json")[0]
-    assert m["_id"].startswith("drop0/")
+    assert m["_id"] == "1.loss" and m["run_id"] == 1
+
+
+# --------------------------------------------------------------------------
+# DB mode (live pymongo), exercised via an in-memory fake client covering
+# the operations the observer issues: find_one(filter, sort), replace_one
+# and update_one($setOnInsert/$push) with upsert.
+
+class _FakeCollection:
+    def __init__(self):
+        self.docs = {}
+
+    @staticmethod
+    def _match(doc, flt):
+        for k, v in flt.items():
+            if isinstance(v, dict) and "$type" in v:
+                if v["$type"] == "number" and not isinstance(
+                        doc.get(k), (int, float)):
+                    return False
+            elif doc.get(k) != v:
+                return False
+        return True
+
+    def find_one(self, flt, sort=None):
+        import copy
+        hits = [d for d in self.docs.values() if self._match(d, flt)]
+        if sort:
+            key, direction = sort[0]
+            hits.sort(key=lambda d: d.get(key), reverse=direction < 0)
+        return copy.deepcopy(hits[0]) if hits else None
+
+    def replace_one(self, flt, doc, upsert=False):
+        import copy
+        for _id, d in list(self.docs.items()):
+            if self._match(d, flt):
+                self.docs[_id] = copy.deepcopy(doc)
+                return
+        if upsert:
+            self.docs[doc["_id"]] = copy.deepcopy(doc)
+
+    def update_one(self, flt, update, upsert=False):
+        doc = next((d for d in self.docs.values() if self._match(d, flt)),
+                   None)
+        if doc is None:
+            if not upsert:
+                return
+            doc = dict(flt)
+            doc.update(update.get("$setOnInsert", {}))
+            self.docs[doc["_id"]] = doc
+        for k, v in update.get("$push", {}).items():
+            doc.setdefault(k, []).append(v)
+
+
+@pytest.fixture
+def fake_mongo(monkeypatch):
+    import sys
+    import types
+    dbs = {}
+
+    class _Admin:
+        @staticmethod
+        def command(*a, **k):
+            pass
+
+    class _FakeClient:
+        def __init__(self, *a, **k):
+            self.admin = _Admin()
+
+        def __getitem__(self, name):
+            return dbs.setdefault(name, types.SimpleNamespace(
+                runs=_FakeCollection(), metrics=_FakeCollection()))
+
+    monkeypatch.setitem(sys.modules, "pymongo",
+                        types.SimpleNamespace(MongoClient=_FakeClient))
+    return dbs
+
+
+def test_observer_db_mode_tags_get_distinct_integer_ids(fake_mongo):
+    """DB mode: the db is keyed by experiment name only while file run
+    ids are per-tag — same (experiment, run_id) under two tags must get
+    distinct INTEGER _ids (ADVICE r2: upsert used to clobber; the r3 fix
+    must not break the Sacred integer-id schema Omniboard sorts by)."""
+    a = MongoRunObserver("baseline", 1, "train", {}, tag="drop0")
+    b = MongoRunObserver("baseline", 1, "train", {}, tag="drop5")
+    assert a.doc_id == 1 and b.doc_id == 2
+    a.log_scalar("loss", 0.9, 0)
+    b.log_scalar("loss", 0.5, 0)
+    a.finish()
+    b.finish()
+    runs = fake_mongo["baseline"].runs.docs
+    assert set(runs) == {1, 2}            # nothing clobbered
+    metrics = fake_mongo["baseline"].metrics.docs
+    assert metrics["1.loss"]["run_id"] == 1
+    assert metrics["2.loss"]["run_id"] == 2
+
+
+def test_observer_db_mode_resume_reuses_doc(fake_mongo):
+    """Resuming the same (tag, run_id) reuses the allocated _id,
+    preserves start_time, and appends to metric arrays via $push."""
+    a = MongoRunObserver("baseline", 1, "train", {}, tag="t")
+    a.log_scalar("loss", 0.9, 0)
+    a.finish("INTERRUPTED")
+    t0 = fake_mongo["baseline"].runs.docs[1]["start_time"]
+
+    b = MongoRunObserver("baseline", 1, "train", {}, tag="t")
+    assert b.doc_id == 1
+    b.log_scalar("loss", 0.7, 1)
+    b.finish("COMPLETED", "mIoU: 50")
+    run = fake_mongo["baseline"].runs.docs[1]
+    assert run["start_time"] == t0
+    assert run["status"] == "COMPLETED"
+    assert [m["name"] for m in run["info"]["metrics"]] == ["loss"]
+    m = fake_mongo["baseline"].metrics.docs["1.loss"]
+    assert m["steps"] == [0, 1] and m["values"] == [0.9, 0.7]

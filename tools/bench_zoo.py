@@ -36,10 +36,11 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from pemp_tpu.utils.benchtime import best_of_rounds  # noqa: E402
+
 LAUNCHES = 3
 BUDGET_S = 120
 EXTEND_S = 240
-SLOW_LAUNCH_S = 5.0
 
 
 def episode_arrays(rng, b, s, q, hw):
@@ -54,10 +55,8 @@ def bench_fn(fn, batch, on_tpu):
     """Best-of-rounds episodes/s for ``fn()`` -> device array."""
     for _ in range(2):
         fn().block_until_ready()
-    best, best_launch = 0.0, float("inf")
-    deadline = time.time() + (BUDGET_S if on_tpu else 10)
-    hard_stop = time.time() + (BUDGET_S + EXTEND_S if on_tpu else 10)
-    while True:
+
+    def timed_round():
         tic = time.perf_counter()
         acc = None
         for _ in range(LAUNCHES):
@@ -65,13 +64,10 @@ def bench_fn(fn, batch, on_tpu):
             acc = out if acc is None else acc + out
         np.asarray(acc)                    # value fetch closes the window
         dt = time.perf_counter() - tic
-        best = max(best, LAUNCHES * batch / dt)
-        best_launch = min(best_launch, dt / LAUNCHES)
-        now = time.time()
-        if now > deadline and (best_launch <= SLOW_LAUNCH_S or not on_tpu):
-            return best
-        if now > hard_stop:
-            return best
+        return LAUNCHES * batch / dt, dt / LAUNCHES
+
+    return best_of_rounds(timed_round, on_tpu, budget_s=BUDGET_S,
+                          extend_s=EXTEND_S, off_tpu_budget_s=10)
 
 
 def row_cascade(shot, on_tpu, dtype):
@@ -166,6 +162,9 @@ ROWS = {
 
 def main():
     rows = sys.argv[1:] or list(ROWS)
+    unknown = [r for r in rows if r not in ROWS]
+    if unknown:
+        sys.exit(f"unknown row(s) {unknown}; valid: {sorted(ROWS)}")
     on_tpu = jax.devices()[0].platform == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     for r in rows:

@@ -27,59 +27,26 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parents[1]))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
-import numpy as np
-
 import jax
-import jax.numpy as jnp
 
 
 def build(args):
-    from bench_train import build_step
-    from pemp_tpu.core import losses as loss_lib
-    from pemp_tpu.models.pemp_stage1 import PEMPStage1
+    from bench_train import make_bench_setup
 
-    on_tpu = jax.devices()[0].platform == "tpu"
-    hw, bs = (args.hw, args.bs) if on_tpu else (33, 2)
-    dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    model = PEMPStage1(backbone="resnet50", dtype=dtype,
-                       use_pallas=args.pallas and on_tpu)
-
-    rng = np.random.RandomState(0)
-    fg = (rng.rand(bs, 1, hw, hw, 1) > 0.5).astype(np.float32)
-    batch = {
-        "sup_rgb": jnp.asarray(rng.randn(bs, 1, hw, hw, 3), jnp.float32),
-        "sup_mask": jnp.asarray(np.concatenate([fg, 1 - fg], -1)),
-        "qry_rgb": jnp.asarray(rng.randn(bs, 1, hw, hw, 3), jnp.float32),
-        "qry_msk": jnp.asarray(
-            rng.randint(0, 2, (bs, 1, hw, hw)), jnp.int32),
-    }
-
-    class _TpuCfg:
-        use_pallas = bool(args.pallas and on_tpu)
-
-    class _LossCfg:
-        loss = args.loss
-        sigma = 5.0
-        tpu = _TpuCfg()
-
-    loss_obj = loss_lib.get(_LossCfg())
-    variables = jax.jit(
-        lambda b: model.init({"params": jax.random.PRNGKey(0)},
-                             b["sup_rgb"][:1], b["sup_mask"][:1],
-                             b["qry_rgb"][:1]))(batch)
-    params = variables["params"]
-    batch_stats = variables.get("batch_stats", {})
-    tx, step = build_step(model, loss_obj)
-    opt_state = tx.init(params)
+    step, _tx, params, batch_stats, opt_state, batch, bs, hw = (
+        make_bench_setup(args, args.pallas))
     return step, params, batch_stats, opt_state, batch, bs, hw
 
 
-def device_plane_ops(xplane_path, module_prefix="jit_step"):
+def device_plane_ops(xplane_path, module_prefix="jit_step",
+                     fallback_steps=1):
     """(ops, step_ns, n_steps): per-op self-times from the device
     'XLA Ops' line (the 'Async XLA Ops' line holds OVERLAPPED DMA spans
     and must NOT be summed — that double-counts the async copies), plus
     the per-execution device duration of the step module from the
-    'XLA Modules' line. Falls back to the CPU client line off-chip."""
+    'XLA Modules' line. Falls back to the CPU client line off-chip —
+    those events span ALL traced steps, so the caller-supplied
+    fallback_steps keeps the per-step division honest there."""
     from jax.profiler import ProfileData
     pd = ProfileData.from_file(xplane_path)
     device_planes = [p for p in pd.planes if p.name.startswith("/device:")
@@ -108,7 +75,7 @@ def device_plane_ops(xplane_path, module_prefix="jit_step"):
                     if not e.name.startswith("end:"):
                         ops[e.name] += e.duration_ns
                         step_ns += e.duration_ns
-        n_steps = 1
+        n_steps = fallback_steps
     return dict(ops), step_ns, max(n_steps, 1)
 
 
@@ -147,7 +114,8 @@ def main():
     wall = time.perf_counter() - tic
 
     xplanes = sorted(glob.glob(f"{outdir}/**/*.xplane.pb", recursive=True))
-    ops, step_ns, n_steps = device_plane_ops(xplanes[-1])
+    ops, step_ns, n_steps = device_plane_ops(
+        xplanes[-1], fallback_steps=args.steps)
     top = sorted(ops.items(), key=lambda kv: -kv[1])[:20]
 
     grouped = defaultdict(float)
@@ -162,7 +130,7 @@ def main():
     dev_ms = step_ns / 1e6 / n_steps
     wall_ms = wall * 1e3 / args.steps
     for name, ns in top:
-        print(f"  {ns / 1e6 / args.steps:8.3f} ms/step  {name[:90]}",
+        print(f"  {ns / 1e6 / n_steps:8.3f} ms/step  {name[:90]}",
               file=sys.stderr)
     print(json.dumps({
         "bs": bs, "hw": hw, "loss": args.loss,
@@ -172,7 +140,7 @@ def main():
         "device_ms_per_step": round(dev_ms, 2),
         "device_eps": round(bs / (dev_ms / 1e3), 1) if dev_ms else None,
         "dispatch_gap_ms_per_step": round(wall_ms - dev_ms, 2),
-        "groups_ms_per_step": {k: round(v / 1e6 / args.steps, 2)
+        "groups_ms_per_step": {k: round(v / 1e6 / n_steps, 2)
                                for k, v in sorted(grouped.items(),
                                                   key=lambda kv: -kv[1])},
         "trace_dir": outdir,

@@ -108,3 +108,54 @@ def test_plateau_policy():
 
 
 
+
+
+def test_frozen_subtree_backward_is_dce_eliminated():
+    """The frozen-param story relies on XLA dead-code-eliminating the
+    grads that multi_transform routes into set_to_zero (CaNet/PFENet
+    frozen backbones; reference requires_grad=False never computes them
+    at all). Pin it: a step with the heavy subtree frozen must compile
+    to materially fewer FLOPs than the unfrozen step. This breaks if
+    anything global (e.g. clip-by-global-norm) is ever applied to the
+    grads BEFORE the mask partition."""
+    from flax import linen as nn
+
+    from pemp_tpu.config import TrainConfig
+    from pemp_tpu.core.solver import apply_updates as apply_u
+
+    class Net(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            for i in range(3):                      # heavy frozen trunk
+                x = nn.relu(nn.Conv(64, (3, 3), name=f"backbone_c{i}")(x))
+            return nn.Conv(2, (1, 1), name="head")(x)
+
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 32, 32, 3),
+                    jnp.float32)
+    y = jnp.asarray(np.random.RandomState(1).randn(2, 32, 32, 2),
+                    jnp.float32)
+    model = Net()
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    cfg = TrainConfig(opt="sgd", lr=0.1, sgd_momentum=0.9,
+                      weight_decay=5e-4, grad_clip=1.1)
+
+    def step_flops(frozen_patterns):
+        mask = trainable_mask(params, frozen_patterns)
+        tx = make_optimizer(cfg, mask)
+        opt_state = tx.init(params)
+
+        def step(p, s):
+            def loss(p):
+                return jnp.mean((model.apply({"params": p}, x) - y) ** 2)
+            g = jax.grad(loss)(p)
+            up, s = tx.update(g, s, p)
+            return apply_u(p, up, 0.1), s
+
+        cost = jax.jit(step).lower(params, opt_state).compile(
+        ).cost_analysis()
+        cost = cost[0] if isinstance(cost, list) else cost
+        return float(cost["flops"])
+
+    frozen = step_flops([r"^backbone_"])
+    unfrozen = step_flops([])
+    assert frozen < 0.75 * unfrozen, (frozen, unfrozen)

@@ -173,11 +173,16 @@ class Experiment:
         command = argv[0]
         rest = argv[1:]
         observed = True
+        print_cfg = False
         overrides: Dict[str, Any] = {}
         expect_with = True
         for token in rest:
             if token in ("-u", "--unobserved"):
                 observed = False
+            elif token in ("-p", "--print-config"):
+                # Sacred grammar (reference README usage): print the
+                # assembled config, then run the command normally
+                print_cfg = True
             elif token == "with" and expect_with:
                 expect_with = False
             elif "=" in token:
@@ -199,6 +204,8 @@ class Experiment:
             observed = observed and jax.process_index() == 0
 
         cfg, run = self.assemble(command, overrides, observed=observed)
+        if print_cfg and command != "print_config":
+            print(format_config(cfg))
         try:
             result = self.commands[command](cfg, run)
         except KeyboardInterrupt:

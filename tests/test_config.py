@@ -88,3 +88,27 @@ def test_resume_without_exp_id_raises(tmp_path):
     ex = Experiment("t", cfg)
     with pytest.raises(ValueError, match="resume"):
         ex.assemble("train", {"split": "1", "resume": "True"})
+
+
+def test_print_config_flag_prints_then_runs(tmp_path, capsys):
+    """Sacred grammar parity: `-p` prints the assembled config and the
+    command still executes (reference README advertises `[-u] [-p]` on
+    every script)."""
+    cfg = make_cfg()
+    cfg.g.model_dir = str(tmp_path)
+    ex = Experiment("t", cfg)
+    ran = []
+
+    @ex.command("probe")
+    def probe(cfg, run):
+        ran.append(cfg.split)
+
+    ex.run_commandline(["probe", "with", "split=2", "-p", "-u"])
+    out = capsys.readouterr().out
+    assert "split" in out and "data" in out   # config dump happened
+    assert ran == [2]                         # ... and the command ran
+
+    ran.clear()
+    ex.run_commandline(["probe", "with", "split=1", "-u"])
+    assert "split" not in capsys.readouterr().out
+    assert ran == [1]

@@ -27,6 +27,8 @@ CASES = [
     ("pemp_stage1", "resnet50"),
     ("pemp_stage1", "vgg16"),
     ("pemp_stage2", "resnet50"),
+    ("panet", "resnet50"),
+    ("panet", "vgg16"),
     ("canet", "resnet50"),
     ("rpmms", "resnet50"),
     ("pfenet", "resnet50"),

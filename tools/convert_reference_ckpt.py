@@ -150,7 +150,9 @@ def convert_trained(model_name: str, backbone: str, sd, params, stats):
     else:
         tc.convert_resnet(backbone_sd, params, stats, backbone, stages=3)
 
-    if model_name == "baseline":
+    if model_name in ("baseline", "panet"):
+        # identical layouts: encoder.backbone (+ encoder.projection for
+        # resnet50) — reference panet.py:48-61 mirrors baseline.py
         if "encoder.projection.weight" in sd:
             _conv(params, ("projection",), sd, "encoder.projection")
         return
@@ -202,7 +204,8 @@ def convert_trained(model_name: str, backbone: str, sd, params, stats):
         return
 
     raise ValueError(f"Unsupported model '{model_name}' (supported: "
-                     "baseline, pemp_stage1, pemp_stage2)")
+                     "baseline, pemp_stage1, pemp_stage2, panet, canet, "
+                     "rpmms, pfenet)")
 
 
 def _build_model(name: str, backbone: str, shot: int):
@@ -262,7 +265,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True,
                     choices=["baseline", "pemp_stage1", "pemp_stage2",
-                             "canet", "rpmms", "pfenet"])
+                             "panet", "canet", "rpmms", "pfenet"])
     ap.add_argument("--backbone", default="resnet50")
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--out", required=True)

@@ -164,7 +164,8 @@ def export_trained(model_name: str, backbone: str, params, stats):
     else:
         export_resnet(sd, params, stats, backbone, stages=3, prefix=prefix)
 
-    if model_name == "baseline":
+    if model_name in ("baseline", "panet"):
+        # identical layouts (reference panet.py:48-61)
         if "projection" in params:
             _conv(sd, params, ("projection",), "encoder.projection")
         return sd
@@ -213,7 +214,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True,
                     choices=["baseline", "pemp_stage1", "pemp_stage2",
-                             "canet", "rpmms", "pfenet"])
+                             "panet", "canet", "rpmms", "pfenet"])
     ap.add_argument("--backbone", default="resnet50")
     ap.add_argument("--ckpt", required=True, help="our .msgpack checkpoint")
     ap.add_argument("--out", required=True, help="output .pth path")

@@ -56,8 +56,15 @@ def device_batch(batch: Dict, sharding=None, compact_wire: bool = True) -> Dict:
         if isinstance(v, np.ndarray):
             if compact_wire and k in WIRE_DTYPES:
                 v = v.astype(WIRE_DTYPES[k])
-            out[k] = jax.device_put(v, sharding) \
-                if sharding is not None else jnp.asarray(v)
+            s = sharding
+            if s is not None and v.shape[0] % s.mesh.size != 0:
+                # mesh-indivisible batches (test_bs=1 eval, tail batches)
+                # cannot split their episode axis — replicate them over
+                # the mesh instead of crashing device_put; the in-model
+                # pallas shard_map gating already handles the compute side
+                s = replicate(s.mesh)
+            out[k] = jax.device_put(v, s) \
+                if s is not None else jnp.asarray(v)
         elif isinstance(v, jax.Array):
             out[k] = v
     return out

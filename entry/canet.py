@@ -26,6 +26,7 @@ from pemp_tpu.data.history import CaNetDataAdapter, HistoryStore
 from pemp_tpu.data.loader import EpisodeLoader
 from pemp_tpu.models import registry
 from pemp_tpu.models.common import output_resize
+from pemp_tpu.parallel.mesh import fetch_global, local_rows
 
 NAME = "canet"
 
@@ -101,14 +102,19 @@ class CaNetRuntime(EntryRuntime):
                 self.store.put(batch["cls"][i], name, soft[i, j])
 
     def post_step(self, aux, batch):
-        self._write_history(aux["feat_logits"], batch)
+        # multi-host: the train batch is host-sharded, so this rank's
+        # qry_names align with ITS devices' rows of the global logits
+        self._write_history(local_rows(aux["feat_logits"]), batch)
 
     def make_eval_step(self):
         raw = super().make_eval_step()
 
         def step(batch):
             logits = raw(batch)
-            self._write_history(logits, batch)
+            # eval loaders are unsharded (identical episode stream on
+            # every host): batch names cover the FULL batch, so gather
+            # the full logits before writing history
+            self._write_history(fetch_global(logits), batch)
             return logits
         return step
 

@@ -46,7 +46,9 @@ class DeviceConfig:
     """Scope ``tpu``: device/mesh options (replaces the reference's ``d``
     cuda scope, config.py:41-48, with TPU-native knobs)."""
     platform: str = ""                  # "", "tpu", "cpu" ("" = jax default)
-    mesh: int = 0                       # data-parallel mesh size (0 = all local devices)
+    mesh: int = 0                       # data-parallel mesh size: N devices;
+    #                                     -1 = all devices; 0 = auto (all
+    #                                     devices when multi-process, else 1)
     precision: str = "bf16"             # backbone compute dtype: bf16 | f32
     prefetch: int = 2                   # device prefetch depth for the input pipeline
     use_pallas: bool = True             # use Pallas kernels for fused hot ops (TPU only)

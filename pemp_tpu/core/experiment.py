@@ -40,8 +40,7 @@ class EntryRuntime:
         self.run = run
         self.logger = loggers.get_global_logger(self.name)
         self.model, self.frozen_patterns = registry.build(self.name, cfg)
-        self.mesh = (mesh_lib.data_mesh(cfg.tpu.mesh)
-                     if cfg.tpu.mesh > 1 else None)
+        self.mesh = mesh_lib.resolve_mesh(cfg.tpu.mesh)
         # the loss needs the mesh: the cedt EDT kernel shard_maps over it
         self.loss_obj = loss_lib.get(cfg, mesh=self.mesh)
         # fused Pallas kernels on TPU for BOTH steps: eval runs the raw
@@ -258,6 +257,7 @@ class EntryRuntime:
         val_ds, val_loader, num_classes = datasets.load(cfg, "eval_online")
         train_ds, train_loader = self.wrap_data(train_ds, train_loader, True)
         val_ds, val_loader = self.wrap_data(val_ds, val_loader, False)
+        val_loader = self._maybe_prefetch_eval(val_loader)
 
         variables = self.init_variables()
         # per-PROCESS optimizer steps: the train loader is host-sharded,
@@ -280,9 +280,12 @@ class EntryRuntime:
         from pemp_tpu.parallel.step import DevicePrefetcher
         shard = (mesh_lib.batch_sharding(self.mesh)
                  if self.mesh is not None else None)
+        # the train loader is host-sharded: its batches are this
+        # process's SHARD of the global batch (global = bs * world)
         train_loader = DevicePrefetcher(train_loader, shard,
                                         depth=cfg.tpu.prefetch,
-                                        compact_wire=cfg.tpu.compact_wire)
+                                        compact_wire=cfg.tpu.compact_wire,
+                                        process_local=True)
         trainer = Trainer(cfg, run, state, train_step, lr_policy,
                           steps_per_epoch, self.name)
         trainer.post_step = self.post_step
@@ -324,8 +327,14 @@ class EntryRuntime:
                                     resume=cfg.resume)
         self.logger.info(
             f"========== Ending training with id {run._id} ==========")
-        if run._id is not None:
-            self.cfg.exp_id = run._id
+        rid = run._id if run._id is not None else -1
+        if jax.process_count() > 1:
+            # only rank 0 records runs/allocates ids, but the auto-test's
+            # jitted eval programs contain collectives over the GLOBAL
+            # mesh — every process must enter test() or the pod deadlocks
+            rid = mesh_lib.broadcast_scalar_from_rank0(rid)
+        if rid >= 0:
+            self.cfg.exp_id = rid
             return self.test()
 
     def test(self):
@@ -333,11 +342,10 @@ class EntryRuntime:
         misc.set_seed(cfg.seed)
         test_ds, test_loader, num_classes = datasets.load(cfg, "test")
         test_ds, test_loader = self.wrap_data(test_ds, test_loader, False)
+        test_loader = self._maybe_prefetch_eval(test_loader)
 
         variables = self.init_variables()
-        path = misc.find_snapshot(cfg, cfg.exp_id, cfg.ckpt)
-        variables = ckpt_lib.load_variables(path, variables)
-        self.logger.info(f"Model initialized from {path}")
+        variables = self._load_test_snapshot(variables)
         self._variables = variables
         self._raw_eval_step = self.make_eval_step()
 
@@ -354,6 +362,45 @@ class EntryRuntime:
                  f"bIoU: {biou * 100:.2f}"
         self.logger.info(result)
         return result
+
+    def _load_test_snapshot(self, variables):
+        """Resolve + load the test checkpoint. Under multi-host, rank 0
+        owns the run dir (rank-0-only recording) and the other hosts may
+        not share its filesystem: each rank loads the snapshot if it can
+        see one, then every leaf is broadcast from rank 0 so the whole
+        world evaluates identical weights."""
+        cfg = self.cfg
+        if jax.process_count() == 1:
+            path = misc.find_snapshot(cfg, cfg.exp_id, cfg.ckpt)
+            variables = ckpt_lib.load_variables(path, variables)
+            self.logger.info(f"Model initialized from {path}")
+            return variables
+        try:
+            path = misc.find_snapshot(cfg, cfg.exp_id, cfg.ckpt)
+            variables = ckpt_lib.load_variables(path, variables)
+            self.logger.info(f"Model initialized from {path}")
+        except (FileNotFoundError, ValueError) as e:
+            if jax.process_index() == 0:
+                raise   # rank 0 MUST have the snapshot it wrote
+            self.logger.info(f"No local snapshot ({e}); "
+                             "taking weights from rank 0's broadcast")
+        from jax.experimental import multihost_utils
+        return multihost_utils.broadcast_one_to_all(variables)
+
+    def _maybe_prefetch_eval(self, loader):
+        """Overlap eval-episode loading + H2D with device compute — the
+        TPU-native analog of the reference's pinned-memory DataLoader at
+        eval time. Runtimes whose eval write back into the batch stream
+        (CaNet's history adapter injects the PREVIOUS prediction into the
+        next episode) must keep the serial loader; ``supports_fast_eval``
+        already flags exactly those."""
+        if not self.supports_fast_eval:
+            return loader
+        from pemp_tpu.parallel.step import DevicePrefetcher
+        shard = (mesh_lib.batch_sharding(self.mesh)
+                 if self.mesh is not None else None)
+        return DevicePrefetcher(loader, shard, depth=self.cfg.tpu.prefetch,
+                                compact_wire=self.cfg.tpu.compact_wire)
 
     def _make_evaluator(self, mode):
         val_labels = datasets.get_val_labels(self.cfg, self.cfg.split)

@@ -45,6 +45,13 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def fetch_global(x) -> np.ndarray:
+    """Multi-host-safe device->host fetch (lazy import: parallel/ pulls
+    this module in at import time, so the top-level import would cycle)."""
+    from pemp_tpu.parallel.mesh import fetch_global as _fetch
+    return _fetch(x)
+
+
 def host_ce_loss(logits: np.ndarray, labels: np.ndarray) -> float:
     """Mean CE with ignore 255, numpy (eval loss on variable-size GT)."""
     logits = logits.astype(np.float64)
@@ -87,15 +94,18 @@ class Evaluator:
 
     @staticmethod
     def _fixed_size(batch) -> bool:
-        """Query GT at input resolution -> the on-device path is exact."""
+        """Query GT at input resolution -> the on-device path is exact.
+        Variable-size GT arrives as a LIST of per-episode arrays; fixed
+        size as one ndarray (host loader) or jax.Array (DevicePrefetcher
+        already moved it to the device)."""
         q = batch.get("qry_msk")
-        return (isinstance(q, np.ndarray)
-                and q.shape[-2:] == batch["qry_rgb"].shape[2:4])
+        return (isinstance(q, (np.ndarray, jax.Array))
+                and tuple(q.shape[-2:]) == tuple(batch["qry_rgb"].shape[2:4]))
 
     def _episode_metrics(self, logits_feat, batch, fs_metric):
         """Host tail: per-episode exact resize -> argmax -> loss/metrics.
         logits_feat: [B, Q, h, w, 2] device array."""
-        logits_feat = np.asarray(jax.device_get(logits_feat), np.float32)
+        logits_feat = np.asarray(fetch_global(logits_feat), np.float32)
         b, n_qry = logits_feat.shape[:2]
         qry_msk = batch["qry_msk"]
         losses = []
@@ -130,16 +140,14 @@ class Evaluator:
                     if self.fast_step is not None \
                             and self._fixed_size(batch):
                         counts, losses = self.fast_step(batch)
-                        fs_metric.update_counts(
-                            np.asarray(jax.device_get(counts)),
-                            batch["cls"])
-                        loss = float(np.mean(jax.device_get(losses)))
+                        fs_metric.update_counts(fetch_global(counts),
+                                                batch["cls"])
+                        loss = float(np.mean(fetch_global(losses)))
                     elif self.bucket_step is not None and bs > 1:
                         counts, losses = self.bucket_step(batch)
-                        fs_metric.update_counts(
-                            np.asarray(jax.device_get(counts)),
-                            batch["cls"])
-                        loss = float(np.mean(jax.device_get(losses)))
+                        fs_metric.update_counts(fetch_global(counts),
+                                                batch["cls"])
+                        loss = float(np.mean(fetch_global(losses)))
                     else:
                         logits = self.eval_step(batch)
                         loss = self._episode_metrics(logits, batch,

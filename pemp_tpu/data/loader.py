@@ -56,22 +56,24 @@ class EpisodeLoader:
         self.drop_last = drop_last
         self.shard_by_process = shard_by_process
 
-    def _range(self):
+    def _indices(self):
         n = len(self.dataset)
         if not self.shard_by_process:
-            return 0, n
-        from pemp_tpu.parallel.mesh import process_episode_range
-        return process_episode_range(n)
+            return list(range(n))
+        # EQUAL-length rank shards (wrap-around padded, DistributedSampler
+        # semantics): the sharded train step's collectives are synchronous
+        # across the world, so every process must yield the same number of
+        # batches or the pod deadlocks on the uneven tail rank.
+        from pemp_tpu.parallel.mesh import process_episode_indices
+        return process_episode_indices(n)
 
     def __len__(self):
-        start, stop = self._range()
-        n = stop - start
+        n = len(self._indices())
         return n // self.batch_size if self.drop_last \
             else -(-n // self.batch_size)
 
     def _batches(self):
-        start, stop = self._range()
-        idx = list(range(start, stop))
+        idx = self._indices()
         for s in range(0, len(idx), self.batch_size):
             chunk = idx[s:s + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:

@@ -31,6 +31,35 @@ def data_mesh(n_devices: int = 0, devices=None) -> Mesh:
     return Mesh(np.array(devices), (DATA_AXIS,))
 
 
+def resolve_mesh(n: int):
+    """``cfg.tpu.mesh`` -> Mesh or None.
+
+    - ``n > 1``: data mesh over the first ``n`` global devices,
+    - ``n == -1``: all global devices,
+    - ``n == 0`` (auto): all global devices under a multi-process
+      launch; no mesh (single device) otherwise — the conservative
+      single-host default keeps small runs off the GSPMD path,
+    - ``n == 1``: no mesh.
+
+    Under multi-host the mesh MUST span every process's devices: a
+    process-local (or absent) mesh would silently train one divergent
+    replica per host with no gradient sync — the world fails loudly
+    instead."""
+    world = jax.process_count()
+    if n == 0:
+        n = jax.device_count() if world > 1 else 1
+    elif n == -1:
+        n = jax.device_count()
+    mesh = data_mesh(n) if n > 1 else None
+    if world > 1 and (mesh is None or mesh.size != jax.device_count()):
+        raise ValueError(
+            f"multi-process launch ({world} processes) requires the data "
+            f"mesh to cover all {jax.device_count()} global devices; got "
+            f"tpu.mesh={n}. Leave tpu.mesh=0 (auto) or set it to the "
+            "global device count.")
+    return mesh
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Episodes sharded on the data axis (leading dim only)."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -100,3 +129,70 @@ def process_episode_range(n_episodes: int, rank=None, world=None):
     world = jax.process_count() if world is None else world
     per = -(-n_episodes // world)
     return min(rank * per, n_episodes), min((rank + 1) * per, n_episodes)
+
+
+def process_episode_indices(n_episodes: int, rank=None, world=None):
+    """EQUAL-length per-process episode index lists, rank-STRIDED and
+    wrap-around padded (torch DistributedSampler semantics).
+
+    - Equal length: every process must run the same number of steps per
+      epoch — the GSPMD collectives inside the sharded train step are
+      synchronous across the whole world, so an uneven tail rank with
+      fewer batches would deadlock the pod; the shortfall wraps around
+      the global list.
+    - Strided (rank r owns episodes r, r+world, ...): step ``s``'s global
+      batch is then episodes [s*B_global, (s+1)*B_global) of the seeded
+      sampler stream — the SAME set a single process with the global
+      batch size would draw, so multi-host training reproduces the
+      single-host trajectory (up to f32 reassociation)."""
+    rank = jax.process_index() if rank is None else rank
+    world = jax.process_count() if world is None else world
+    if n_episodes == 0:
+        return []
+    per = -(-n_episodes // world)
+    return [(rank + i * world) % n_episodes for i in range(per)]
+
+
+def spans_processes(mesh: Mesh) -> bool:
+    """True when the mesh includes devices of other processes (a real
+    multi-host world): host-local numpy batches are then per-process
+    SHARDS of the global batch, not the global value itself."""
+    me = jax.process_index()
+    return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def fetch_global(x) -> np.ndarray:
+    """Device->host fetch of a possibly globally-sharded array.
+
+    Under multi-host a jitted eval step returns jax.Arrays whose shards
+    live on other processes' devices; ``jax.device_get`` refuses those.
+    ``process_allgather`` reassembles the global value on every host (the
+    eval outputs are tiny: per-episode counts/losses/logits). Fully
+    addressable arrays (single-host, or replicated scalars) take the
+    cheap direct path."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        from jax.experimental import multihost_utils
+        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(jax.device_get(x))
+
+
+def local_rows(x) -> np.ndarray:
+    """THIS process's rows (leading axis) of a globally-sharded array,
+    in global index order — e.g. the rows that came from this host's
+    rank-sharded loader batch. Fully-addressable arrays (single-host or
+    replicated) come back whole."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shards = sorted(x.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    return np.asarray(x)
+
+
+def broadcast_scalar_from_rank0(value: int) -> int:
+    """Agree on a host-side integer across the world (e.g. the run id
+    rank 0 allocated). No-op single-process."""
+    if jax.process_count() == 1:
+        return int(value)
+    from jax.experimental import multihost_utils
+    return int(np.asarray(
+        multihost_utils.broadcast_one_to_all(np.int64(value))))

@@ -22,7 +22,7 @@ from jax.sharding import Mesh
 
 from pemp_tpu.core.solver import apply_updates
 from pemp_tpu.core.trainer import TrainState
-from pemp_tpu.parallel.mesh import batch_sharding, replicate
+from pemp_tpu.parallel.mesh import batch_sharding, replicate, spans_processes
 
 ARRAY_KEYS = ("sup_rgb", "sup_mask", "qry_rgb", "qry_msk",
               "history", "qry_prior")   # 'cls' stays host-side (metrics)
@@ -45,9 +45,21 @@ UNPACK_DTYPES = {
 }
 
 
-def device_batch(batch: Dict, sharding=None, compact_wire: bool = True) -> Dict:
+def device_batch(batch: Dict, sharding=None, compact_wire: bool = True,
+                 process_local: bool = False) -> Dict:
     """numpy batch -> device arrays (optionally sharded on episodes).
-    Already-on-device arrays pass through untouched."""
+    Already-on-device arrays pass through untouched.
+
+    ``process_local=True`` declares the host arrays to be THIS process's
+    shard of the global batch (rank-sharded loaders): under a multi-host
+    mesh the global array is assembled from every process's local data
+    (global batch = local_bs * process_count). With the default
+    ``process_local=False`` the host array is the full global value,
+    identical on every process (eval loaders replay the same seeded
+    episode stream everywhere) — ``jax.device_put`` then places each
+    process's addressable rows. Confusing the two silently trains on a
+    mix of half-read batches, hence the explicit flag."""
+    multihost = sharding is not None and spans_processes(sharding.mesh)
     out = {}
     for k in ARRAY_KEYS:
         if k not in batch:
@@ -56,6 +68,23 @@ def device_batch(batch: Dict, sharding=None, compact_wire: bool = True) -> Dict:
         if isinstance(v, np.ndarray):
             if compact_wire and k in WIRE_DTYPES:
                 v = v.astype(WIRE_DTYPES[k])
+            if multihost and process_local:
+                n_local = sharding.mesh.local_mesh.size
+                if v.shape[0] % n_local != 0:
+                    raise ValueError(
+                        f"multi-host train batch: local batch {v.shape[0]} "
+                        f"({k}) must divide the {n_local} local devices — "
+                        "pick data.bs = k * local_device_count")
+                # global batch = local batch x hosts. The explicit
+                # global_shape is load-bearing: with global_shape=None
+                # and local.shape[0] == a legal global size, jax treats
+                # the LOCAL array as the full global value and quietly
+                # builds a world-batch of local size.
+                ratio = sharding.mesh.size // n_local
+                gshape = (v.shape[0] * ratio,) + v.shape[1:]
+                out[k] = jax.make_array_from_process_local_data(
+                    sharding, v, gshape)
+                continue
             s = sharding
             if s is not None and v.shape[0] % s.mesh.size != 0:
                 # mesh-indivisible batches (test_bs=1 eval, tail batches)
@@ -117,11 +146,12 @@ class DevicePrefetcher:
     batches and skips its own transfer."""
 
     def __init__(self, loader, sharding=None, depth: int = 2,
-                 compact_wire: bool = True):
+                 compact_wire: bool = True, process_local: bool = False):
         self.loader = loader
         self.sharding = sharding
         self.depth = max(1, depth)
         self.compact_wire = compact_wire
+        self.process_local = process_local
 
     def __len__(self):
         return len(self.loader)
@@ -151,7 +181,8 @@ class DevicePrefetcher:
                         return
                     dev = dict(host_batch)
                     dev.update(device_batch(host_batch, self.sharding,
-                                            self.compact_wire))
+                                            self.compact_wire,
+                                            self.process_local))
                     safe_put(dev)
             except BaseException as e:
                 safe_put(e)

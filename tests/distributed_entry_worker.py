@@ -1,0 +1,63 @@
+"""Entry-level worker for tests/test_distributed_2proc.py (NOT collected).
+
+Runs the FULL framework pipeline — ``ex.assemble`` -> ``EntryRuntime``
+train (host-sharded loader, process-local global-batch assembly,
+rank-0-only recording) -> broadcast auto-test chain -> evaluator with
+multi-host-safe fetches — in a real ``jax.distributed`` world.
+
+Usage: python tests/distributed_entry_worker.py <out.json> <model_dir> <bs>
+(single-process reference when COORDINATOR_ADDRESS is unset; pass the
+GLOBAL batch size then)
+"""
+
+import json
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+
+from pemp_tpu.parallel.mesh import initialize_distributed
+
+distributed = initialize_distributed()   # before any backend touch
+
+import jax  # noqa: E402
+
+
+def main(out_path, model_dir, bs):
+    import entry.baseline as eb
+
+    cfg, run = eb.ex.assemble("train", {
+        "split": "0", "data.dataset": "SYNTH",
+        "data.height": "17", "data.width": "17",
+        "data.bs": str(bs), "data.train_n": "8",
+        "data.test_n": "4", "data.test_bs": "2",
+        "te.epochs": "1", "tr.total_epochs": "2",
+        "net.backbone": "vgg16", "g.model_dir": model_dir,
+    })
+    result = eb.BaselineRuntime(cfg, run).train()   # auto-test chain
+
+    m = re.search(r"Loss: ([\d.]+), mIoU: ([\d.]+), bIoU: ([\d.]+)",
+                  result or "")
+    assert m, f"unexpected test result: {result!r}"
+
+    # rank 0's run dir carries the recorded train-loss stream
+    train_loss = None
+    metrics = sorted(Path(model_dir).glob("*/*/metrics.json"))
+    if metrics:   # {"train_loss": [[step, value], ...], ...}
+        doc = json.load(open(metrics[0]))
+        train_loss = [v for _, v in doc.get("train_loss", [])]
+
+    json.dump({
+        "distributed": bool(distributed),
+        "rank": int(jax.process_index()),
+        "world": int(jax.process_count()),
+        "loss": float(m.group(1)),
+        "miou": float(m.group(2)),
+        "biou": float(m.group(3)),
+        "train_loss": train_loss,
+    }, open(out_path, "w"))
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))

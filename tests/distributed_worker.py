@@ -28,9 +28,12 @@ from pemp_tpu.core import losses as loss_lib
 from pemp_tpu.core import solver
 from pemp_tpu.core.trainer import TrainState
 from pemp_tpu.parallel.mesh import (
-    data_mesh, initialize_distributed, process_episode_range,
+    batch_sharding, data_mesh, initialize_distributed,
+    process_episode_range,
 )
-from pemp_tpu.parallel.step import make_train_step, replicate_state
+from pemp_tpu.parallel.step import (
+    device_batch, make_train_step, replicate_state,
+)
 
 N_EPISODES = 8
 HW = 17
@@ -86,6 +89,27 @@ def main(out_path):
             jax.random.PRNGKey(i))
         losses.append(float(loss))
 
+    # ---- phase 2: PROCESS-LOCAL batches (host-sharded loader
+    # semantics). Each rank holds only its strided slice of the global
+    # batch; device_batch(process_local=True) assembles the global array
+    # via make_array_from_process_local_data. Must reproduce the
+    # full-global-batch run (the strided union per step is the same
+    # episode set; means are permutation-invariant).
+    local_qry = qry[rank::world]
+    local_msk = msk[rank::world]
+    state2 = TrainState(
+        jax.tree_util.tree_map(jnp.asarray, params), {}, tx.init(params))
+    state2 = replicate_state(state2, mesh)
+    shard = batch_sharding(mesh)
+    losses_local = []
+    for i in range(STEPS):
+        wire = device_batch({"qry_rgb": local_qry, "qry_msk": local_msk},
+                            shard, process_local=(world > 1))
+        state2, loss, _ = step(state2, wire, LR, jax.random.PRNGKey(i))
+        losses_local.append(float(loss))
+    flat_local = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, state2.params))
+
     flat = jax.tree_util.tree_leaves(
         jax.tree_util.tree_map(np.asarray, state.params))
     start, stop = process_episode_range(N_EPISODES)
@@ -99,6 +123,8 @@ def main(out_path):
         "losses": losses,
         "param_sum": float(sum(np.abs(leaf).sum() for leaf in flat)),
         "params": [leaf.ravel().tolist() for leaf in flat],
+        "losses_local": losses_local,
+        "params_local": [leaf.ravel().tolist() for leaf in flat_local],
     }, open(out_path, "w"))
 
 

@@ -101,3 +101,71 @@ def test_two_process_world_matches_single_process(tmp_path):
                                rtol=1e-6, atol=1e-7)
     for a, b in zip(r0["params"], ref["params"]):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+    # phase 2 — PROCESS-LOCAL batches (each rank fed only its strided
+    # slice, global batch assembled by device_batch(process_local=True)):
+    # ranks agree bit-for-bit and reproduce the full-batch single run
+    np.testing.assert_array_equal(r0["losses_local"], r1["losses_local"])
+    for a, b in zip(r0["params_local"], r1["params_local"]):
+        np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(r0["losses_local"], ref["losses_local"],
+                               rtol=1e-6, atol=1e-7)
+    for a, b in zip(r0["params_local"], ref["params_local"]):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_two_process_entry_pipeline(tmp_path):
+    """The FULL entry pipeline in a real 2-process world: host-sharded
+    train loader (strided, process-local global batches), rank-0-only
+    recording, online eval with multi-host-safe fetches, the broadcast
+    auto-test chain (every rank must enter test() — its programs hold
+    collectives over the global mesh), and rank-0 snapshot broadcast.
+
+    Asserts both ranks finish, agree exactly on the final test metrics,
+    and the per-epoch train-loss stream matches a single-process run at
+    the equivalent global batch size (strided sharding makes each global
+    step the same episode set)."""
+    port = _free_port()
+    worker = Path(__file__).parent / "distributed_entry_worker.py"
+    mdir = tmp_path / "multi"
+    outs = [tmp_path / f"entry_rank{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(outs[i]), str(mdir), "2"],
+            env=_env({"COORDINATOR_ADDRESS": f"localhost:{port}",
+                      "NUM_PROCESSES": "2", "PROCESS_ID": str(i)}),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    try:
+        logs = [p.communicate(timeout=TIMEOUT_S)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"entry worker failed:\n{log[-4000:]}"
+
+    sdir = tmp_path / "single"
+    single_out = tmp_path / "entry_single.json"
+    single = subprocess.run(
+        [sys.executable, str(worker), str(single_out), str(sdir), "4"],
+        env=_env({}), capture_output=True, text=True, timeout=TIMEOUT_S)
+    assert single.returncode == 0, single.stdout + single.stderr
+
+    r0, r1 = (json.load(open(o)) for o in outs)
+    ref = json.load(open(single_out))
+
+    assert r0["world"] == r1["world"] == 2 and ref["world"] == 1
+    # both ranks ran the auto-test and agree on the result exactly
+    for k in ("loss", "miou", "biou"):
+        assert r0[k] == r1[k], f"{k}: {r0[k]} != {r1[k]}"
+
+    # rank 0 recorded the run; the strided 2-process trajectory matches
+    # the single-process global-batch run (f32 reassociation tolerance
+    # compounds over 2 epochs of SGD -> loose but meaningful bound)
+    assert r0["train_loss"] and ref["train_loss"]
+    np.testing.assert_allclose(r0["train_loss"], ref["train_loss"],
+                               rtol=2e-3)
+    np.testing.assert_allclose(r0["miou"], ref["miou"], atol=2.0)

@@ -69,10 +69,31 @@ def test_process_episode_range_world4():
     assert ranges == [(0, 1), (1, 2), (2, 2), (2, 2)]
 
 
+def test_process_episode_indices_equal_length():
+    """Equal-length wrap-padded rank shards (DistributedSampler
+    semantics): unequal per-rank step counts would deadlock the
+    synchronous GSPMD collectives on the uneven tail rank."""
+    from pemp_tpu.parallel.mesh import process_episode_indices
+
+    shards = [process_episode_indices(10, rank=r, world=4)
+              for r in range(4)]
+    assert [len(s) for s in shards] == [3, 3, 3, 3]   # EQUAL steps
+    assert shards[2] == [2, 6, 0] and shards[3] == [3, 7, 1]  # tail wraps
+    flat = [i for s in shards for i in s]
+    assert set(flat) == set(range(10))                # full cover
+    # divisible world: exact disjoint strided cover, no padding; each
+    # global step's union is a contiguous run of the sampler stream
+    shards = [process_episode_indices(8, rank=r, world=2)
+              for r in range(2)]
+    assert shards == [[0, 2, 4, 6], [1, 3, 5, 7]]
+    assert process_episode_indices(0, rank=0, world=2) == []
+
+
 def test_loader_shards_by_process(monkeypatch):
-    """Rank-sharded loading for a faked 4-process world: each process's
-    EpisodeLoader yields its own disjoint slice and the union over all
-    ranks covers every episode exactly once."""
+    """Rank-sharded loading for a faked 4-process world: every process's
+    EpisodeLoader yields the SAME number of episodes (wrap-around padded
+    — unequal counts deadlock multi-host collectives) and the union over
+    all ranks covers every episode."""
     from pemp_tpu.config import Config
     from pemp_tpu.data import datasets
     from pemp_tpu.data.loader import EpisodeLoader
@@ -86,7 +107,7 @@ def test_loader_shards_by_process(monkeypatch):
     ds.sample_tasks()
 
     world = 4
-    seen = []
+    per_rank = []
     for rank in range(world):
         monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
         monkeypatch.setattr(jax, "process_count", lambda: world)
@@ -94,10 +115,33 @@ def test_loader_shards_by_process(monkeypatch):
                                shard_by_process=True)
         got = [ep for batch in loader
                for ep in np.atleast_1d(batch["cls"])]
-        n = len(got)
-        assert n in (1, 2, 3), f"rank {rank} got {n} episodes"
-        seen.append(n)
-    assert sum(seen) == 10   # disjoint cover: every episode exactly once
+        per_rank.append(got)
+    assert [len(g) for g in per_rank] == [3] * world   # equal steps
+    assert len(loader) == 2                            # ceil(3/2) batches
+    # 10 episodes + 2 wrap-padded repeats cover the global list
+    all_cls = [c for g in per_rank for c in g]
+    assert len(all_cls) == 12
+
+
+def test_resolve_mesh(monkeypatch):
+    """tpu.mesh resolution: auto keeps small single-host runs off the
+    GSPMD path but must cover the whole world under multi-process (a
+    process-local mesh would train divergent replicas silently)."""
+    import pytest
+    from pemp_tpu.parallel.mesh import resolve_mesh
+
+    assert resolve_mesh(0) is None          # auto, single process
+    assert resolve_mesh(1) is None
+    assert resolve_mesh(4).size == 4
+    assert resolve_mesh(-1).size == len(jax.devices())
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert resolve_mesh(0).size == len(jax.devices())   # auto -> world
+    assert resolve_mesh(-1).size == len(jax.devices())
+    with pytest.raises(ValueError):         # partial mesh under multi-host
+        resolve_mesh(4)
+    with pytest.raises(ValueError):         # no mesh under multi-host
+        resolve_mesh(1)
 
 
 def test_launch_env_detection(monkeypatch):

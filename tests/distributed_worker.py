@@ -28,8 +28,8 @@ from pemp_tpu.core import losses as loss_lib
 from pemp_tpu.core import solver
 from pemp_tpu.core.trainer import TrainState
 from pemp_tpu.parallel.mesh import (
-    batch_sharding, data_mesh, initialize_distributed,
-    process_episode_range,
+    batch_sharding, data_mesh, fetch_global, initialize_distributed,
+    local_rows, process_episode_range,
 )
 from pemp_tpu.parallel.step import (
     device_batch, make_train_step, replicate_state,
@@ -105,6 +105,18 @@ def main(out_path):
     for i in range(STEPS):
         wire = device_batch({"qry_rgb": local_qry, "qry_msk": local_msk},
                             shard, process_local=(world > 1))
+        if i == 0:
+            # the assembled global batch must (a) give each rank back
+            # exactly ITS local rows via local_rows (CaNet history
+            # write-back relies on this alignment), and (b) equal the
+            # process-major concat of every rank's strided slice
+            np.testing.assert_array_equal(
+                local_rows(wire["qry_rgb"]),
+                local_qry.astype(np.float16))
+            expect = np.concatenate(
+                [qry[r::world] for r in range(world)]).astype(np.float16)
+            np.testing.assert_array_equal(
+                fetch_global(wire["qry_rgb"]), expect)
         state2, loss, _ = step(state2, wire, LR, jax.random.PRNGKey(i))
         losses_local.append(float(loss))
     flat_local = jax.tree_util.tree_leaves(

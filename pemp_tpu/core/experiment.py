@@ -276,16 +276,19 @@ class EntryRuntime:
 
         train_step = make_train_step(self.make_loss_fn(), tx, self.mesh,
                                      compact_wire=cfg.tpu.compact_wire)
-        # overlap host->device transfer with compute (double-buffered)
-        from pemp_tpu.parallel.step import DevicePrefetcher
-        shard = (mesh_lib.batch_sharding(self.mesh)
-                 if self.mesh is not None else None)
-        # the train loader is host-sharded: its batches are this
-        # process's SHARD of the global batch (global = bs * world)
-        train_loader = DevicePrefetcher(train_loader, shard,
-                                        depth=cfg.tpu.prefetch,
-                                        compact_wire=cfg.tpu.compact_wire,
-                                        process_local=True)
+        # overlap host->device transfer with compute (double-buffered);
+        # tpu.prefetch=0 keeps the serial loader (debugging, A/B timing)
+        # EXCEPT under multi-host: only the prefetcher path declares the
+        # host batch process-local for global-batch assembly
+        if cfg.tpu.prefetch > 0 or jax.process_count() > 1:
+            from pemp_tpu.parallel.step import DevicePrefetcher
+            shard = (mesh_lib.batch_sharding(self.mesh)
+                     if self.mesh is not None else None)
+            # the train loader is host-sharded: its batches are this
+            # process's SHARD of the global batch (global = bs * world)
+            train_loader = DevicePrefetcher(
+                train_loader, shard, depth=cfg.tpu.prefetch,
+                compact_wire=cfg.tpu.compact_wire, process_local=True)
         trainer = Trainer(cfg, run, state, train_step, lr_policy,
                           steps_per_epoch, self.name)
         trainer.post_step = self.post_step
@@ -393,8 +396,8 @@ class EntryRuntime:
         eval time. Runtimes whose eval write back into the batch stream
         (CaNet's history adapter injects the PREVIOUS prediction into the
         next episode) must keep the serial loader; ``supports_fast_eval``
-        already flags exactly those."""
-        if not self.supports_fast_eval:
+        already flags exactly those. ``tpu.prefetch=0`` disables."""
+        if not self.supports_fast_eval or self.cfg.tpu.prefetch <= 0:
             return loader
         from pemp_tpu.parallel.step import DevicePrefetcher
         shard = (mesh_lib.batch_sharding(self.mesh)

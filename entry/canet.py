@@ -26,7 +26,7 @@ from pemp_tpu.data.history import CaNetDataAdapter, HistoryStore
 from pemp_tpu.data.loader import EpisodeLoader
 from pemp_tpu.models import registry
 from pemp_tpu.models.common import output_resize
-from pemp_tpu.parallel.mesh import fetch_global, local_rows
+from pemp_tpu.parallel.mesh import fetch_global
 
 NAME = "canet"
 
@@ -45,6 +45,11 @@ class CaNetRuntime(EntryRuntime):
     name = NAME
     # eval must write the softmax back into the history store per episode
     supports_fast_eval = False
+    # the history store is per-host memory and an episode can land on a
+    # DIFFERENT host next epoch (tasks are resampled every epoch): a
+    # rank-sharded loader would fragment the store, so every host loads
+    # the full episode stream and writes back the full global batch
+    shard_train_loader = False
 
     def __init__(self, cfg, run):
         super().__init__(cfg, run)
@@ -58,9 +63,9 @@ class CaNetRuntime(EntryRuntime):
         wrapped = EpisodeLoader(
             adapter, loader.batch_size, loader.num_workers,
             loader.prefetch, loader.drop_last,
-            # keep the multi-host episode sharding of the loader we are
-            # replacing — dropping it would train every episode
-            # process_count times per epoch
+            # preserve the sharding flag of the loader being replaced;
+            # EntryRuntime.train() then applies this class's
+            # shard_train_loader=False policy (history consistency)
             shard_by_process=loader.shard_by_process)
         return adapter, wrapped
 
@@ -102,9 +107,9 @@ class CaNetRuntime(EntryRuntime):
                 self.store.put(batch["cls"][i], name, soft[i, j])
 
     def post_step(self, aux, batch):
-        # multi-host: the train batch is host-sharded, so this rank's
-        # qry_names align with ITS devices' rows of the global logits
-        self._write_history(local_rows(aux["feat_logits"]), batch)
+        # shard_train_loader=False: batch names cover the FULL batch on
+        # every host, so fetch the full logits (multi-host: allgather)
+        self._write_history(fetch_global(aux["feat_logits"]), batch)
 
     def make_eval_step(self):
         raw = super().make_eval_step()

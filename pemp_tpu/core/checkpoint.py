@@ -42,7 +42,16 @@ def load(path: Path, target_variables: Dict[str, Any],
          target_opt_state: Any = None) -> Tuple[Any, Any, int, Dict]:
     """Restore into pytrees shaped like the targets. Returns
     (variables, opt_state or None, epoch, extra)."""
-    payload = serialization.msgpack_restore(Path(path).read_bytes())
+    return load_bytes(Path(path).read_bytes(), target_variables,
+                      target_opt_state)
+
+
+def load_bytes(data: bytes, target_variables: Dict[str, Any],
+               target_opt_state: Any = None) -> Tuple[Any, Any, int, Dict]:
+    """``load`` from an in-memory payload — multi-host runs broadcast
+    rank 0's checkpoint bytes so every host restores the identical
+    state without needing a shared filesystem."""
+    payload = serialization.msgpack_restore(data)
     variables = serialization.from_bytes(target_variables,
                                          payload["variables"])
     opt_state = None
@@ -55,4 +64,9 @@ def load(path: Path, target_variables: Dict[str, Any],
 
 def load_variables(path: Path, target_variables: Dict[str, Any]):
     variables, _, _, _ = load(path, target_variables)
+    return variables
+
+
+def load_variables_bytes(data: bytes, target_variables: Dict[str, Any]):
+    variables, _, _, _ = load_bytes(data, target_variables)
     return variables

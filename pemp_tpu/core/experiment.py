@@ -73,6 +73,13 @@ class EntryRuntime:
     # fully-on-device eval for fixed-size GT; runtimes with per-episode
     # host side effects (CaNet history write-back) must disable it
     supports_fast_eval = True
+    # Multi-host: rank-shard the train loader (each host loads its
+    # strided slice of the episode stream). Runtimes with cross-episode
+    # host state (CaNet's history store: an episode can land on a
+    # DIFFERENT host next epoch, so per-host stores would fragment) set
+    # this False — every host then loads the full stream and the global
+    # batch is the plain replicated value.
+    shard_train_loader = True
 
     def apply_train(self, variables, batch, rng):
         """Forward in train mode. Returns (logits [B,Q,H,W,2], mutated,
@@ -256,6 +263,8 @@ class EntryRuntime:
         train_ds, train_loader, _ = datasets.load(cfg, "train")
         val_ds, val_loader, num_classes = datasets.load(cfg, "eval_online")
         train_ds, train_loader = self.wrap_data(train_ds, train_loader, True)
+        if not self.shard_train_loader:
+            train_loader.shard_by_process = False
         val_ds, val_loader = self.wrap_data(val_ds, val_loader, False)
         val_loader = self._maybe_prefetch_eval(val_loader)
 
@@ -284,11 +293,14 @@ class EntryRuntime:
             from pemp_tpu.parallel.step import DevicePrefetcher
             shard = (mesh_lib.batch_sharding(self.mesh)
                      if self.mesh is not None else None)
-            # the train loader is host-sharded: its batches are this
-            # process's SHARD of the global batch (global = bs * world)
+            # a host-sharded train loader yields this process's SHARD of
+            # the global batch (global = bs * world); an unsharded one
+            # (shard_train_loader=False) yields the full value on every
+            # host, which is plain replicated device_put semantics
             train_loader = DevicePrefetcher(
                 train_loader, shard, depth=cfg.tpu.prefetch,
-                compact_wire=cfg.tpu.compact_wire, process_local=True)
+                compact_wire=cfg.tpu.compact_wire,
+                process_local=self.shard_train_loader)
         trainer = Trainer(cfg, run, state, train_step, lr_policy,
                           steps_per_epoch, self.name)
         trainer.post_step = self.post_step
@@ -369,26 +381,30 @@ class EntryRuntime:
     def _load_test_snapshot(self, variables):
         """Resolve + load the test checkpoint. Under multi-host, rank 0
         owns the run dir (rank-0-only recording) and the other hosts may
-        not share its filesystem: each rank loads the snapshot if it can
-        see one, then every leaf is broadcast from rank 0 so the whole
-        world evaluates identical weights."""
+        not share its filesystem: rank 0 reads the snapshot BYTES and
+        broadcasts them, so the whole world restores identical weights.
+        A rank-0 miss broadcasts an empty payload first — every rank
+        raises, instead of the others wedging inside the collective."""
         cfg = self.cfg
         if jax.process_count() == 1:
             path = misc.find_snapshot(cfg, cfg.exp_id, cfg.ckpt)
             variables = ckpt_lib.load_variables(path, variables)
             self.logger.info(f"Model initialized from {path}")
             return variables
-        try:
-            path = misc.find_snapshot(cfg, cfg.exp_id, cfg.ckpt)
-            variables = ckpt_lib.load_variables(path, variables)
-            self.logger.info(f"Model initialized from {path}")
-        except (FileNotFoundError, ValueError) as e:
-            if jax.process_index() == 0:
-                raise   # rank 0 MUST have the snapshot it wrote
-            self.logger.info(f"No local snapshot ({e}); "
-                             "taking weights from rank 0's broadcast")
-        from jax.experimental import multihost_utils
-        return multihost_utils.broadcast_one_to_all(variables)
+        data, err = None, ""
+        if jax.process_index() == 0:
+            try:
+                path = misc.find_snapshot(cfg, cfg.exp_id, cfg.ckpt)
+                data = path.read_bytes()
+                self.logger.info(f"Model initialized from {path} "
+                                 "(broadcast to all hosts)")
+            except (FileNotFoundError, ValueError) as e:
+                err = f": {e}"
+        data = mesh_lib.broadcast_bytes_from_rank0(data)
+        if not data:
+            raise FileNotFoundError(
+                "rank 0 could not load a test snapshot" + err)
+        return ckpt_lib.load_variables_bytes(data, variables)
 
     def _maybe_prefetch_eval(self, loader):
         """Overlap eval-episode loading + H2D with device compute — the

@@ -222,6 +222,10 @@ class Trainer:
                 "lr_policy": self.lr_policy.state_dict()}
 
     def try_snapshot(self, epoch=-1, final=False):
+        if jax.process_index() != 0:
+            return   # rank-0-only recording: other hosts would write
+            #          redundant copies to <model_dir>/None (and collide
+            #          on the same timestamped filename)
         if final:
             if not self.do_ckpt:
                 self.model_dir.mkdir(parents=True, exist_ok=True)
@@ -241,12 +245,25 @@ class Trainer:
             return path
 
     def maybe_resume(self) -> int:
-        """Resume from ``ckpt.msgpack`` in this run dir if present."""
+        """Resume from ``ckpt.msgpack`` in this run dir if present.
+
+        Multi-host: rank 0's run dir decides for the WHOLE world (only
+        rank 0 records runs, so the other hosts have no resumable dir);
+        its checkpoint bytes are broadcast so every rank restores the
+        identical state and epoch — resuming only rank 0 would run
+        different epoch-loop lengths per rank and deadlock the
+        synchronous collectives."""
         path = self.model_dir / "ckpt.msgpack"
-        if not path.exists():
+        data = None
+        if jax.process_index() == 0 and path.exists():
+            data = path.read_bytes()
+        if jax.process_count() > 1:
+            from pemp_tpu.parallel.mesh import broadcast_bytes_from_rank0
+            data = broadcast_bytes_from_rank0(data)
+        if not data:
             return 0
-        variables, opt_state, epoch, extra = ckpt_lib.load(
-            path, self._variables(), self.state.opt_state)
+        variables, opt_state, epoch, extra = ckpt_lib.load_bytes(
+            data, self._variables(), self.state.opt_state)
         self.state = self.state.replace(
             params=variables["params"],
             batch_stats=variables["batch_stats"],

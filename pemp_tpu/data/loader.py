@@ -45,10 +45,12 @@ class EpisodeLoader:
     def __init__(self, dataset, batch_size: int, num_workers: int = 4,
                  prefetch: int = 2, drop_last: bool = False,
                  shard_by_process: bool = False):
-        """``shard_by_process=True`` makes each host process own a
-        contiguous slice of the globally pre-sampled episode list
-        (multi-host training; the seeded sampler stream is identical on
-        every process, so the global order is reproducible)."""
+        """``shard_by_process=True`` gives each host process an
+        equal-length rank-STRIDED shard of the globally pre-sampled
+        episode list (wrap-around padded — see
+        ``parallel.mesh.process_episode_indices``; the seeded sampler
+        stream is identical on every process, so the global order is
+        reproducible)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.num_workers = max(1, num_workers)

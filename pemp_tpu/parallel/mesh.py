@@ -180,10 +180,18 @@ def local_rows(x) -> np.ndarray:
     """THIS process's rows (leading axis) of a globally-sharded array,
     in global index order — e.g. the rows that came from this host's
     rank-sharded loader batch. Fully-addressable arrays (single-host or
-    replicated) come back whole."""
+    replicated) come back whole. Raises when the layout is not
+    row-sharded (e.g. replicated-but-non-addressable, which would
+    silently duplicate rows)."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
         shards = sorted(x.addressable_shards,
                         key=lambda s: s.index[0].start or 0)
+        starts = [s.index[0].start or 0 for s in shards]
+        if len(set(starts)) != len(starts):
+            raise ValueError(
+                "local_rows needs a batch-row-sharded array; got "
+                f"duplicate leading-axis shard offsets {starts} "
+                f"(sharding {x.sharding}) — the rows would duplicate")
         return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
     return np.asarray(x)
 
@@ -196,3 +204,25 @@ def broadcast_scalar_from_rank0(value: int) -> int:
     from jax.experimental import multihost_utils
     return int(np.asarray(
         multihost_utils.broadcast_one_to_all(np.int64(value))))
+
+
+def broadcast_bytes_from_rank0(data) -> bytes:
+    """Ship rank 0's byte payload (checkpoint files) to every process.
+
+    Rank 0 passes the bytes or ``None``; other ranks' argument is
+    ignored. Everyone returns rank 0's bytes, or ``b""`` when rank 0
+    had none — the empty result doubles as rank 0's failure signal, so
+    a missing checkpoint raises on EVERY rank instead of wedging the
+    others inside the broadcast collective. No-op single-process."""
+    if jax.process_count() == 1:
+        return data or b""
+    is_src = jax.process_index() == 0
+    n = broadcast_scalar_from_rank0(
+        len(data) if (is_src and data is not None) else 0)
+    if n == 0:
+        return b""
+    from jax.experimental import multihost_utils
+    arr = (np.frombuffer(data, np.uint8) if is_src
+           else np.zeros(n, np.uint8))
+    return np.asarray(
+        multihost_utils.broadcast_one_to_all(arr)).tobytes()

@@ -60,9 +60,18 @@ def device_batch(batch: Dict, sharding=None, compact_wire: bool = True,
     process's addressable rows. Confusing the two silently trains on a
     mix of half-read batches, hence the explicit flag."""
     multihost = sharding is not None and spans_processes(sharding.mesh)
+    # variable-size eval GT that happens to stack (same original
+    # resolution != input size) is host-side metric data: the bucket and
+    # host-exact eval paths index it on host, which a non-addressable
+    # globally-sharded array refuses — keep it off the device
+    q, r = batch.get("qry_msk"), batch.get("qry_rgb")
+    gt_mismatch = (isinstance(q, np.ndarray) and isinstance(r, np.ndarray)
+                   and tuple(q.shape[-2:]) != tuple(r.shape[2:4]))
     out = {}
     for k in ARRAY_KEYS:
         if k not in batch:
+            continue
+        if k == "qry_msk" and gt_mismatch:
             continue
         v = batch[k]
         if isinstance(v, np.ndarray):

@@ -5,7 +5,9 @@ train (host-sharded loader, process-local global-batch assembly,
 rank-0-only recording) -> broadcast auto-test chain -> evaluator with
 multi-host-safe fetches — in a real ``jax.distributed`` world.
 
-Usage: python tests/distributed_entry_worker.py <out.json> <model_dir> <bs>
+Usage:
+  python tests/distributed_entry_worker.py <out.json> <model_dir> <bs> \
+      [entry=baseline]
 (single-process reference when COORDINATOR_ADDRESS is unset; pass the
 GLOBAL batch size then)
 """
@@ -24,18 +26,29 @@ distributed = initialize_distributed()   # before any backend touch
 import jax  # noqa: E402
 
 
-def main(out_path, model_dir, bs):
-    import entry.baseline as eb
+def main(out_path, model_dir, bs, entry_name="baseline"):
+    import importlib
 
-    cfg, run = eb.ex.assemble("train", {
+    eb = importlib.import_module(f"entry.{entry_name}")
+    rt_cls = next(v for k, v in vars(eb).items()
+                  if k.endswith("Runtime") and k != "EntryRuntime")
+
+    overrides = {
         "split": "0", "data.dataset": "SYNTH",
         "data.height": "17", "data.width": "17",
         "data.bs": str(bs), "data.train_n": "8",
         "data.test_n": "4", "data.test_bs": "2",
         "te.epochs": "1", "tr.total_epochs": "2",
-        "net.backbone": "vgg16", "g.model_dir": model_dir,
-    })
-    result = eb.BaselineRuntime(cfg, run).train()   # auto-test chain
+        "g.model_dir": model_dir,
+    }
+    if entry_name == "baseline":
+        overrides["net.backbone"] = "vgg16"
+    if entry_name == "canet":
+        # random frozen features learn nothing; the smoke only needs the
+        # history store + backward to execute
+        overrides["net.freeze_backbone"] = "False"
+    cfg, run = eb.ex.assemble("train", overrides)
+    result = rt_cls(cfg, run).train()   # auto-test chain
 
     m = re.search(r"Loss: ([\d.]+), mIoU: ([\d.]+), bIoU: ([\d.]+)",
                   result or "")
@@ -60,4 +73,5 @@ def main(out_path, model_dir, bs):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]),
+         *(sys.argv[4:5] or ["baseline"]))

@@ -169,3 +169,45 @@ def test_two_process_entry_pipeline(tmp_path):
     np.testing.assert_allclose(r0["train_loss"], ref["train_loss"],
                                rtol=2e-3)
     np.testing.assert_allclose(r0["miou"], ref["miou"], atol=2.0)
+
+
+def test_two_process_canet_pipeline(tmp_path):
+    """CaNet in a live 2-process world: the adversarial runtime — host
+    history state (shard_train_loader=False keeps every host's store
+    complete: an episode can land on a different host next epoch), the
+    post-step history write-back allgathers the global logits, and eval
+    goes through the host-exact path (supports_fast_eval=False) whose
+    logits fetch must reassemble cross-host shards. Smoke-level
+    assertions: no deadlock, both ranks agree on the broadcast-weighted
+    test metrics, rank 0 recorded the run. (No single-process trajectory
+    comparison — the 30% history reset draws from python's global
+    ``random`` in load order, which is not stable across loader
+    topologies.)"""
+    port = _free_port()
+    worker = Path(__file__).parent / "distributed_entry_worker.py"
+    mdir = tmp_path / "canet"
+    outs = [tmp_path / f"canet_rank{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(outs[i]), str(mdir), "2",
+             "canet"],
+            env=_env({"COORDINATOR_ADDRESS": f"localhost:{port}",
+                      "NUM_PROCESSES": "2", "PROCESS_ID": str(i)}),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    try:
+        logs = [p.communicate(timeout=TIMEOUT_S)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"canet worker failed:\n{log[-4000:]}"
+
+    r0, r1 = (json.load(open(o)) for o in outs)
+    assert r0["world"] == r1["world"] == 2
+    for k in ("loss", "miou", "biou"):
+        assert r0[k] == r1[k], f"{k}: {r0[k]} != {r1[k]}"
+    assert r0["train_loss"] or r1["train_loss"]   # rank 0 recorded

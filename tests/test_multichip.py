@@ -144,6 +144,58 @@ def test_resolve_mesh(monkeypatch):
         resolve_mesh(1)
 
 
+def test_device_batch_keeps_mismatched_gt_on_host():
+    """Variable-size eval GT that happens to stack (same original
+    resolution != input size) must stay host-side: the bucket/host eval
+    paths index it on host, which a globally-sharded device array
+    refuses under multi-host."""
+    from pemp_tpu.parallel.mesh import batch_sharding, data_mesh
+    from pemp_tpu.parallel.step import device_batch
+
+    rgb = np.zeros((4, 1, 9, 9, 3), np.float32)
+    gt = np.zeros((4, 1, 7, 5), np.uint8)        # original-res GT
+    out = device_batch({"qry_rgb": rgb, "qry_msk": gt},
+                       batch_sharding(data_mesh(4)))
+    assert "qry_msk" not in out                   # left on host
+    assert isinstance(out["qry_rgb"], jax.Array)
+
+    matched = np.zeros((4, 1, 9, 9), np.uint8)    # input-res GT
+    out = device_batch({"qry_rgb": rgb, "qry_msk": matched},
+                       batch_sharding(data_mesh(4)))
+    assert isinstance(out["qry_msk"], jax.Array)
+
+
+def test_snapshots_are_rank0_only(monkeypatch, tmp_path):
+    """Non-rank-0 processes must not write checkpoints: they would dump
+    redundant copies into <model_dir>/None and collide on the same
+    timestamped filename on shared pod storage."""
+    from pemp_tpu.config import Config
+    from pemp_tpu.core.trainer import Trainer, TrainState
+    from types import SimpleNamespace
+
+    cfg = Config(split=0, shot=1, query=1)
+    cfg.g.model_dir = str(tmp_path)
+    run = SimpleNamespace(_id=None, log_scalar=lambda *a, **k: None)
+    state = TrainState({"w": np.zeros(2, np.float32)}, {}, None)
+    lr_policy = SimpleNamespace(state_dict=lambda: {})
+    tr = Trainer(cfg, run, state, train_step=None, lr_policy=lr_policy,
+                 steps_per_epoch=1)
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    assert tr.try_snapshot(3, final=True) is None
+    assert list(tmp_path.rglob("*.msgpack")) == []
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    path = tr.try_snapshot(3, final=True)
+    assert path is not None and path.exists()
+
+
+def test_broadcast_bytes_single_process():
+    from pemp_tpu.parallel.mesh import broadcast_bytes_from_rank0
+    assert broadcast_bytes_from_rank0(b"abc") == b"abc"
+    assert broadcast_bytes_from_rank0(None) == b""
+
+
 def test_launch_env_detection(monkeypatch):
     from pemp_tpu.parallel.mesh import _launch_env
     for var in ("COORDINATOR_ADDRESS", "NUM_PROCESSES", "PROCESS_ID",

@@ -24,11 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from pemp_tpu.config import Config, Experiment
-from pemp_tpu.core import checkpoint as ckpt_lib
-from pemp_tpu.core.experiment import EntryRuntime, INIT_HW
+from pemp_tpu.core.experiment import (EntryRuntime, INIT_HW,
+                                      load_snapshot_broadcast)
 from pemp_tpu.models import registry
 from pemp_tpu.models.pemp_stage1 import PEMPStage1
-from pemp_tpu.utils import misc
 
 NAME = "pemp_stage2"
 
@@ -68,10 +67,11 @@ class Stage2Runtime(EntryRuntime):
         variables = {"params": variables["params"],
                      "batch_stats": variables.get("batch_stats", {})}
         s1cfg = dataclasses.replace(cfg, tag=cfg.s1.tag or "pemp_stage1")
-        path = misc.find_snapshot(s1cfg, cfg.s1.id, cfg.s1.ckpt)
-        variables = ckpt_lib.load_variables(path, variables)
-        self.logger.info(f"Stage-1 (frozen) initialized from {path}")
-        return variables
+        # multi-host: rank 0 reads + broadcasts the snapshot bytes (the
+        # other hosts may not share its run-dir filesystem)
+        return load_snapshot_broadcast(s1cfg, cfg.s1.id, cfg.s1.ckpt,
+                                       variables, self.logger,
+                                       what="Stage-1 (frozen)")
 
     def _prior(self, batch, out_hw, train, rng):
         """Frozen stage-1 argmax prediction as the query prior channel."""

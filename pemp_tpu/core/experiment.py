@@ -30,6 +30,36 @@ from pemp_tpu.utils import loggers, misc
 INIT_HW = 33    # params are spatial-size independent; init on tiny maps
 
 
+def load_snapshot_broadcast(cfg, exp_id, ckpt, variables, logger,
+                            what="Model"):
+    """``find_snapshot`` + restore, multi-host-safe. Rank 0 owns the run
+    dirs (rank-0-only recording) and the other hosts may not share its
+    filesystem: rank 0 reads the snapshot BYTES and broadcasts them so
+    the whole world restores identical weights. Any rank-0 failure
+    (missing file, bad path, IO error) broadcasts an empty payload first
+    — every rank raises, instead of the others wedging inside the
+    collective."""
+    if jax.process_count() == 1:
+        path = misc.find_snapshot(cfg, exp_id, ckpt)
+        variables = ckpt_lib.load_variables(path, variables)
+        logger.info(f"{what} initialized from {path}")
+        return variables
+    data, err = None, ""
+    if jax.process_index() == 0:
+        try:
+            path = misc.find_snapshot(cfg, exp_id, ckpt)
+            data = path.read_bytes()
+            logger.info(f"{what} initialized from {path} "
+                        "(broadcast to all hosts)")
+        except (OSError, ValueError) as e:
+            err = f": {e}"
+    data = mesh_lib.broadcast_bytes_from_rank0(data)
+    if not data:
+        raise FileNotFoundError(
+            f"rank 0 could not load a {what.lower()} snapshot" + err)
+    return ckpt_lib.load_variables_bytes(data, variables)
+
+
 class EntryRuntime:
     """One experiment run of a given model family."""
 
@@ -287,9 +317,12 @@ class EntryRuntime:
                                      compact_wire=cfg.tpu.compact_wire)
         # overlap host->device transfer with compute (double-buffered);
         # tpu.prefetch=0 keeps the serial loader (debugging, A/B timing)
-        # EXCEPT under multi-host: only the prefetcher path declares the
-        # host batch process-local for global-batch assembly
-        if cfg.tpu.prefetch > 0 or jax.process_count() > 1:
+        # EXCEPT for a rank-sharded multi-host loader: only the
+        # prefetcher path declares the host batch process-local for
+        # global-batch assembly (an unsharded loader yields the full
+        # replicated value, which the serial path places correctly)
+        if cfg.tpu.prefetch > 0 or (jax.process_count() > 1
+                                    and self.shard_train_loader):
             from pemp_tpu.parallel.step import DevicePrefetcher
             shard = (mesh_lib.batch_sharding(self.mesh)
                      if self.mesh is not None else None)
@@ -379,32 +412,9 @@ class EntryRuntime:
         return result
 
     def _load_test_snapshot(self, variables):
-        """Resolve + load the test checkpoint. Under multi-host, rank 0
-        owns the run dir (rank-0-only recording) and the other hosts may
-        not share its filesystem: rank 0 reads the snapshot BYTES and
-        broadcasts them, so the whole world restores identical weights.
-        A rank-0 miss broadcasts an empty payload first — every rank
-        raises, instead of the others wedging inside the collective."""
         cfg = self.cfg
-        if jax.process_count() == 1:
-            path = misc.find_snapshot(cfg, cfg.exp_id, cfg.ckpt)
-            variables = ckpt_lib.load_variables(path, variables)
-            self.logger.info(f"Model initialized from {path}")
-            return variables
-        data, err = None, ""
-        if jax.process_index() == 0:
-            try:
-                path = misc.find_snapshot(cfg, cfg.exp_id, cfg.ckpt)
-                data = path.read_bytes()
-                self.logger.info(f"Model initialized from {path} "
-                                 "(broadcast to all hosts)")
-            except (FileNotFoundError, ValueError) as e:
-                err = f": {e}"
-        data = mesh_lib.broadcast_bytes_from_rank0(data)
-        if not data:
-            raise FileNotFoundError(
-                "rank 0 could not load a test snapshot" + err)
-        return ckpt_lib.load_variables_bytes(data, variables)
+        return load_snapshot_broadcast(cfg, cfg.exp_id, cfg.ckpt,
+                                       variables, self.logger)
 
     def _maybe_prefetch_eval(self, loader):
         """Overlap eval-episode loading + H2D with device compute — the

@@ -254,12 +254,30 @@ class Trainer:
         different epoch-loop lengths per rank and deadlock the
         synchronous collectives."""
         path = self.model_dir / "ckpt.msgpack"
-        data = None
-        if jax.process_index() == 0 and path.exists():
+        src = str(path)
+        if jax.process_count() == 1:
+            if not path.exists():
+                return 0
             data = path.read_bytes()
-        if jax.process_count() > 1:
-            from pemp_tpu.parallel.mesh import broadcast_bytes_from_rank0
+        else:
+            from pemp_tpu.parallel.mesh import (
+                broadcast_bytes_from_rank0, broadcast_scalar_from_rank0)
+            data, err = None, ""
+            if jax.process_index() == 0 and path.exists():
+                try:
+                    data = path.read_bytes()
+                except OSError as e:
+                    err = f": {e}"
+            # a rank-0 READ error must raise on every rank — an empty
+            # broadcast alone would silently restart the world from
+            # scratch despite a checkpoint being present
+            failed = broadcast_scalar_from_rank0(1 if err else 0)
+            if failed:
+                raise RuntimeError("rank 0 found a resume checkpoint "
+                                   "but could not read it" + err)
             data = broadcast_bytes_from_rank0(data)
+            if jax.process_index() != 0:
+                src = "rank 0's broadcast checkpoint"
         if not data:
             return 0
         variables, opt_state, epoch, extra = ckpt_lib.load_bytes(
@@ -273,7 +291,7 @@ class Trainer:
         self.best_epoch = int(extra.get("best_epoch", self.best_epoch))
         if "lr_policy" in extra:
             self.lr_policy.load_state_dict(extra["lr_policy"])
-        self.logger.info(f"Resumed from {path} at epoch {epoch} "
+        self.logger.info(f"Resumed from {src} at epoch {epoch} "
                          f"(lr {self.lr_policy.lr:.2e}, "
                          f"best mIoU {self.best_iou:.4f})")
         return epoch

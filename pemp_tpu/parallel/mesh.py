@@ -216,12 +216,18 @@ def broadcast_bytes_from_rank0(data) -> bytes:
     others inside the broadcast collective. No-op single-process."""
     if jax.process_count() == 1:
         return data or b""
+    import struct
+    from jax.experimental import multihost_utils
     is_src = jax.process_index() == 0
-    n = broadcast_scalar_from_rank0(
-        len(data) if (is_src and data is not None) else 0)
+    # length header as 8 raw uint8 bytes: an int scalar would be
+    # canonicalized to int32 on device (x64 disabled) and overflow for
+    # >=2 GiB payloads (resume checkpoints carry optimizer moments)
+    n = len(data) if (is_src and data is not None) else 0
+    hdr = np.frombuffer(struct.pack("<q", n), np.uint8)
+    n = struct.unpack("<q", np.asarray(
+        multihost_utils.broadcast_one_to_all(hdr)).tobytes())[0]
     if n == 0:
         return b""
-    from jax.experimental import multihost_utils
     arr = (np.frombuffer(data, np.uint8) if is_src
            else np.zeros(n, np.uint8))
     return np.asarray(

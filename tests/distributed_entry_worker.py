@@ -7,7 +7,16 @@ multi-host-safe fetches — in a real ``jax.distributed`` world.
 
 Usage:
   python tests/distributed_entry_worker.py <out.json> <model_dir> <bs> \
-      [entry=baseline]
+      [entry=baseline] [mode=train]
+
+Modes:
+  train   one train() incl. the auto-test chain (default)
+  resume  train 1 epoch, then a SECOND invocation with resume=True
+          exp_id=1 tr.total_epochs=2 — exercises the multi-host
+          checkpoint-bytes broadcast in ``Trainer.maybe_resume``
+  stage2  train pemp_stage1, then pemp_stage2 with s1.id=1 — exercises
+          the stage-1 snapshot broadcast (``load_snapshot_broadcast``)
+
 (single-process reference when COORDINATOR_ADDRESS is unset; pass the
 GLOBAL batch size then)
 """
@@ -26,13 +35,17 @@ distributed = initialize_distributed()   # before any backend touch
 import jax  # noqa: E402
 
 
-def main(out_path, model_dir, bs, entry_name="baseline"):
+def run_train(entry_name, overrides):
     import importlib
 
     eb = importlib.import_module(f"entry.{entry_name}")
     rt_cls = next(v for k, v in vars(eb).items()
                   if k.endswith("Runtime") and k != "EntryRuntime")
+    cfg, run = eb.ex.assemble("train", overrides)
+    return rt_cls(cfg, run).train()   # auto-test chain
 
+
+def main(out_path, model_dir, bs, entry_name="baseline", mode="train"):
     overrides = {
         "split": "0", "data.dataset": "SYNTH",
         "data.height": "17", "data.width": "17",
@@ -47,8 +60,27 @@ def main(out_path, model_dir, bs, entry_name="baseline"):
         # random frozen features learn nothing; the smoke only needs the
         # history store + backward to execute
         overrides["net.freeze_backbone"] = "False"
-    cfg, run = eb.ex.assemble("train", overrides)
-    result = rt_cls(cfg, run).train()   # auto-test chain
+
+    if mode == "resume":
+        # phase 1: one epoch (writes run 1 + ckpt.msgpack on rank 0)
+        run_train(entry_name, {**overrides, "tr.total_epochs": "1"})
+        # phase 2: fresh invocation resumes run 1 and trains epoch 2;
+        # multi-host, the ckpt BYTES broadcast from rank 0
+        result = run_train(entry_name, {**overrides, "resume": "True",
+                                        "exp_id": "1"})
+    elif mode == "stage2":
+        run_train("pemp_stage1", {**overrides, "data.height": "33",
+                                  "data.width": "33",
+                                  "net.backbone": "vgg16",
+                                  "tr.total_epochs": "1"})
+        # stage-2 loads run 1's stage-1 snapshot: under multi-host rank 0
+        # reads the bytes and broadcasts them to the world
+        result = run_train("pemp_stage2", {
+            **overrides, "data.height": "33", "data.width": "33",
+            "tr.total_epochs": "1", "net.backbone": "vgg16",
+            "net.backbone2": "vgg16", "s1.id": "1"})
+    else:
+        result = run_train(entry_name, overrides)
 
     m = re.search(r"Loss: ([\d.]+), mIoU: ([\d.]+), bIoU: ([\d.]+)",
                   result or "")
@@ -74,4 +106,4 @@ def main(out_path, model_dir, bs, entry_name="baseline"):
 
 if __name__ == "__main__":
     main(sys.argv[1], sys.argv[2], int(sys.argv[3]),
-         *(sys.argv[4:5] or ["baseline"]))
+         *sys.argv[4:6])

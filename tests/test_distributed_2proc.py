@@ -23,7 +23,9 @@ from pathlib import Path
 import numpy as np
 
 WORKER = Path(__file__).parent / "distributed_worker.py"
-TIMEOUT_S = 600
+# generous: the multi-phase modes (resume, stage2) train twice with cold
+# interpreter + compile per phase — ~10 min each on a single-core host
+TIMEOUT_S = 1800
 
 
 def _free_port():
@@ -114,6 +116,36 @@ def test_two_process_world_matches_single_process(tmp_path):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
 
 
+def _spawn_entry_world(tmp_path, name, bs, *extra_args):
+    """Run distributed_entry_worker.py in a live 2-process world; returns
+    the two rank result dicts."""
+    port = _free_port()
+    worker = Path(__file__).parent / "distributed_entry_worker.py"
+    mdir = tmp_path / name
+    outs = [tmp_path / f"{name}_rank{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(outs[i]), str(mdir),
+             str(bs), *extra_args],
+            env=_env({"COORDINATOR_ADDRESS": f"localhost:{port}",
+                      "NUM_PROCESSES": "2", "PROCESS_ID": str(i)}),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    try:
+        logs = [p.communicate(timeout=TIMEOUT_S)[0] for p in procs]
+    finally:
+        # a failed rendezvous (stale port, one rank dying pre-init) must
+        # not leak workers holding the coordinator port past the test
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"{name} worker failed:\n{log[-4000:]}"
+    return [json.load(open(o)) for o in outs]
+
+
 def test_two_process_entry_pipeline(tmp_path):
     """The FULL entry pipeline in a real 2-process world: host-sharded
     train loader (strided, process-local global batches), rank-0-only
@@ -183,31 +215,42 @@ def test_two_process_canet_pipeline(tmp_path):
     comparison — the 30% history reset draws from python's global
     ``random`` in load order, which is not stable across loader
     topologies.)"""
-    port = _free_port()
-    worker = Path(__file__).parent / "distributed_entry_worker.py"
-    mdir = tmp_path / "canet"
-    outs = [tmp_path / f"canet_rank{i}.json" for i in range(2)]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, str(worker), str(outs[i]), str(mdir), "2",
-             "canet"],
-            env=_env({"COORDINATOR_ADDRESS": f"localhost:{port}",
-                      "NUM_PROCESSES": "2", "PROCESS_ID": str(i)}),
-            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for i in range(2)
-    ]
-    try:
-        logs = [p.communicate(timeout=TIMEOUT_S)[0] for p in procs]
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-                p.wait()
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, f"canet worker failed:\n{log[-4000:]}"
-
-    r0, r1 = (json.load(open(o)) for o in outs)
+    r0, r1 = _spawn_entry_world(tmp_path, "canet", 2, "canet")
     assert r0["world"] == r1["world"] == 2
     for k in ("loss", "miou", "biou"):
         assert r0[k] == r1[k], f"{k}: {r0[k]} != {r1[k]}"
     assert r0["train_loss"] or r1["train_loss"]   # rank 0 recorded
+
+
+def test_two_process_resume(tmp_path):
+    """Mid-run resume in a live 2-process world: rank 0 owns the only
+    run dir, so ``Trainer.maybe_resume`` must broadcast its checkpoint
+    BYTES (params + opt state + epoch + LR position) for the other rank
+    to restore — resuming only rank 0 would run different epoch-loop
+    lengths per rank and deadlock the synchronous collectives.
+
+    Phase 1 trains epoch 1; phase 2 relaunches with resume=True exp_id=1
+    tr.total_epochs=2. Asserts: both ranks complete, agree exactly on
+    the final test metrics, and rank 0's metrics stream holds BOTH
+    epochs (epoch 1 preserved from phase 1 + epoch 2 appended by the
+    resumed run — a from-scratch restart would record epoch 1 twice)."""
+    r0, r1 = _spawn_entry_world(tmp_path, "resume", 2,
+                                "baseline", "resume")
+    assert r0["world"] == r1["world"] == 2
+    for k in ("loss", "miou", "biou"):
+        assert r0[k] == r1[k], f"{k}: {r0[k]} != {r1[k]}"
+    stream = r0["train_loss"] or r1["train_loss"]
+    assert len(stream) == 2, f"expected 2 recorded epochs, got {stream}"
+
+
+def test_two_process_stage2_cascade(tmp_path):
+    """The stage-1 -> stage-2 cascade in a live 2-process world: the
+    frozen stage-1 snapshot lives only in rank 0's run dir, so
+    ``load_snapshot_broadcast`` must ship its bytes to every host before
+    the cascade's jitted programs (which hold global-mesh collectives)
+    can run. Asserts: both ranks finish and agree on the test metrics."""
+    r0, r1 = _spawn_entry_world(tmp_path, "stage2", 2,
+                                "baseline", "stage2")
+    assert r0["world"] == r1["world"] == 2
+    for k in ("loss", "miou", "biou"):
+        assert r0[k] == r1[k], f"{k}: {r0[k]} != {r1[k]}"

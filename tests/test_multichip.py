@@ -217,3 +217,102 @@ def test_launch_env_detection(monkeypatch):
     monkeypatch.setenv("NUM_PROCESSES", "4")
     monkeypatch.setenv("PROCESS_ID", "0")
     assert _launch_env() == "explicit"
+
+
+def _tiny_trainer(tmp_path):
+    from pemp_tpu.config import Config
+    from pemp_tpu.core.trainer import Trainer, TrainState
+    from types import SimpleNamespace
+
+    cfg = Config(split=0, shot=1, query=1)
+    cfg.g.model_dir = str(tmp_path)
+    run = SimpleNamespace(_id=None, log_scalar=lambda *a, **k: None)
+    state = TrainState({"w": np.zeros(2, np.float32)}, {}, None)
+    lr_policy = SimpleNamespace(state_dict=lambda: {})
+    return Trainer(cfg, run, state, train_step=None, lr_policy=lr_policy,
+                   steps_per_epoch=1)
+
+
+def test_maybe_resume_rank0_read_error_raises(monkeypatch, tmp_path):
+    """A rank-0 checkpoint READ error must raise on EVERY rank: an empty
+    byte broadcast alone would silently restart the whole world from
+    scratch despite a checkpoint being present (the live 2-process tests
+    cover only the happy path)."""
+    import pytest
+    from pemp_tpu.parallel import mesh as mesh_lib
+
+    tr = _tiny_trainer(tmp_path)
+    tr.model_dir.mkdir(parents=True, exist_ok=True)
+    (tr.model_dir / "ckpt.msgpack").write_bytes(b"present")
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    import pathlib
+
+    def boom(self):
+        raise OSError("disk error")
+    monkeypatch.setattr(pathlib.Path, "read_bytes", boom)
+    # identity: rank 0's own flag comes back to it
+    monkeypatch.setattr(mesh_lib, "broadcast_scalar_from_rank0",
+                        lambda v: v)
+    with pytest.raises(RuntimeError, match="could not read"):
+        tr.maybe_resume()
+
+    # rank 1 holds no run dir and no error of its own — it must raise
+    # purely from rank 0's broadcast failure flag
+    monkeypatch.undo()
+    tr = _tiny_trainer(tmp_path / "r1")
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(mesh_lib, "broadcast_scalar_from_rank0",
+                        lambda v: 1)
+    with pytest.raises(RuntimeError, match="could not read"):
+        tr.maybe_resume()
+
+
+def test_maybe_resume_multihost_no_ckpt_starts_fresh(monkeypatch,
+                                                     tmp_path):
+    """No checkpoint on rank 0: the empty broadcast means a clean fresh
+    start (epoch 0) on every rank, no raise."""
+    from pemp_tpu.parallel import mesh as mesh_lib
+
+    for rank in (0, 1):
+        tr = _tiny_trainer(tmp_path / f"r{rank}")
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        monkeypatch.setattr(mesh_lib, "broadcast_scalar_from_rank0",
+                            lambda v: 0)
+        monkeypatch.setattr(mesh_lib, "broadcast_bytes_from_rank0",
+                            lambda d: b"")
+        assert tr.maybe_resume() == 0
+
+
+def test_load_snapshot_broadcast_rank1(monkeypatch, tmp_path):
+    """Non-rank-0 hosts restore snapshot weights purely from rank 0's
+    byte broadcast (no filesystem access), and raise when the broadcast
+    comes back empty (rank-0 miss)."""
+    import pytest
+    from types import SimpleNamespace
+
+    from pemp_tpu.core import checkpoint as ckpt_lib
+    from pemp_tpu.core import experiment as exp_lib
+
+    weights = {"params": {"w": np.arange(4, dtype=np.float32)}}
+    path = tmp_path / "snap.msgpack"
+    ckpt_lib.save(path, weights)
+    data = path.read_bytes()
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(exp_lib.mesh_lib, "broadcast_bytes_from_rank0",
+                        lambda d: data)
+    logger = SimpleNamespace(info=lambda *a, **k: None)
+    target = {"params": {"w": np.zeros(4, np.float32)}}
+    # cfg/exp_id/ckpt are rank-0-only inputs — rank 1 never touches them
+    out = exp_lib.load_snapshot_broadcast(None, -1, "", target, logger)
+    np.testing.assert_array_equal(out["params"]["w"],
+                                  weights["params"]["w"])
+
+    monkeypatch.setattr(exp_lib.mesh_lib, "broadcast_bytes_from_rank0",
+                        lambda d: b"")
+    with pytest.raises(FileNotFoundError):
+        exp_lib.load_snapshot_broadcast(None, -1, "", target, logger)

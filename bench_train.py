@@ -19,6 +19,7 @@ import argparse
 import json
 import os
 import time
+from functools import partial
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
@@ -52,7 +53,10 @@ def build_step(model, loss_obj, lr=1e-3):
         logits = logits.reshape(-1, *logits.shape[-3:])
         return loss_obj(logits, labels), mutated["batch_stats"]
 
-    @jax.jit
+    # donate like the production step (parallel/step.py donates the whole
+    # state tuple): without donation XLA emits copy fusions for every
+    # updated param/momentum buffer, which the real trainer never pays
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
     def step(params, batch_stats, opt_state, batch, rng):
         (loss, new_bs), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(params, batch_stats, batch, rng)

@@ -373,6 +373,13 @@ class EntryRuntime:
         trainer.start_training_loop(train_ds, train_loader, evaluator,
                                     val_ds, val_loader, num_classes,
                                     resume=cfg.resume)
+        if trainer.preempted:
+            # every rank agreed on the stop flag (world-OR on a fixed
+            # step schedule), so skipping the auto-test chain here is
+            # world-consistent — no rank is left inside its collectives
+            self.logger.info(
+                f"========== Training preempted (id {run._id}) ==========")
+            return "PREEMPTED"
         self.logger.info(
             f"========== Ending training with id {run._id} ==========")
         rid = run._id if run._id is not None else -1

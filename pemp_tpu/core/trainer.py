@@ -22,6 +22,7 @@ TPU-native differences:
 from __future__ import annotations
 
 import os
+import signal
 import time
 from pathlib import Path
 from typing import Any, Callable, Optional
@@ -43,6 +44,49 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+
+
+# multi-host graceful-stop agreement interval: every rank must call the
+# world-OR collective on the same step schedule, so a preemption signal
+# landing on ONE host stops the whole world at the same step boundary
+STOP_SYNC_STEPS = 50
+
+
+class GracefulStop:
+    """Preemption-safe stop request.
+
+    TPU maintenance events and spot/preemptible reclaims deliver SIGTERM
+    with a short grace window; ``install()`` hooks SIGTERM + SIGUSR1 to
+    set a flag that the training loop polls at step boundaries, so the
+    run exits through a final snapshot instead of dying mid-step (the
+    reference cannot resume at all — SURVEY.md section 5.4). ``restore()``
+    puts the previous handlers back. Off the main thread (where Python
+    forbids installing handlers) it degrades to a manual flag."""
+
+    SIGNALS = ("SIGTERM", "SIGUSR1")
+
+    def __init__(self):
+        self.requested = False
+        self._prev = {}
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def install(self):
+        for name in self.SIGNALS:
+            sig = getattr(signal, name, None)
+            if sig is None:
+                continue
+            try:
+                self._prev[sig] = signal.signal(sig, self._handler)
+            except ValueError:      # not the main thread
+                break
+        return self
+
+    def restore(self):
+        for sig, prev in self._prev.items():
+            signal.signal(sig, prev)
+        self._prev.clear()
 
 
 def fetch_global(x) -> np.ndarray:
@@ -200,6 +244,7 @@ class Trainer:
 
         self.best_iou = -1.0
         self.best_epoch = -1
+        self.preempted = False
         self._epoch_counter = 0
         # optional hook: post_step(aux, batch) after every train step
         # (CaNet's history-mask write-back uses this)
@@ -214,14 +259,17 @@ class Trainer:
         return {"params": self.state.params,
                 "batch_stats": self.state.batch_stats}
 
-    def _resume_extra(self):
+    def _resume_extra(self, lr_state=None):
         """Trainer state that must survive resume: without it a resumed
         run restarts the LR schedule and lets a worse epoch overwrite
-        bestckpt.msgpack."""
+        bestckpt.msgpack. ``lr_state`` overrides the live LR-schedule
+        state (a preemption snapshot records the interrupted epoch's
+        BOUNDARY state so the replayed epoch re-steps it exactly once)."""
         return {"best_iou": self.best_iou, "best_epoch": self.best_epoch,
-                "lr_policy": self.lr_policy.state_dict()}
+                "lr_policy": (self.lr_policy.state_dict()
+                              if lr_state is None else lr_state)}
 
-    def try_snapshot(self, epoch=-1, final=False):
+    def try_snapshot(self, epoch=-1, final=False, lr_state=None):
         if jax.process_index() != 0:
             return   # rank-0-only recording: other hosts would write
             #          redundant copies to <model_dir>/None (and collide
@@ -234,14 +282,14 @@ class Trainer:
             else:
                 path = self.model_dir / "ckpt.msgpack"
             ckpt_lib.save(path, self._variables(), self.state.opt_state,
-                          epoch, extra=self._resume_extra())
+                          epoch, extra=self._resume_extra(lr_state))
             self.logger.info(C.c(f" \\_/ Save checkpoint to {path}", C.OKGREEN))
             return path
         if self.do_ckpt and self.cfg.tr.ckpt_epoch > 0 \
                 and epoch % self.cfg.tr.ckpt_epoch == 0:
             path = self.model_dir / "ckpt.msgpack"
             ckpt_lib.save(path, self._variables(), self.state.opt_state,
-                          epoch, extra=self._resume_extra())
+                          epoch, extra=self._resume_extra(lr_state))
             return path
 
     def maybe_resume(self) -> int:
@@ -310,36 +358,66 @@ class Trainer:
             train_ds.sample_tasks()
 
         profile_dir = os.environ.get("PEMP_PROFILE_DIR")
+        stop = GracefulStop().install()
+        world = jax.process_count()
 
-        for epoch in range(start_epoch + 1, self.cfg.tr.total_epochs + 1):
-            if profile_dir and epoch == start_epoch + 2:
-                # profile the second epoch (first is compile-heavy)
-                jax.profiler.start_trace(profile_dir)
-            train_ds.sample_tasks()
-            losses = []
-            step_rng = jax.random.PRNGKey(self.cfg.seed + epoch)
-            for step_i, batch in enumerate(train_loader):
-                with timer.start():
-                    rng = jax.random.fold_in(step_rng, step_i)
-                    self.state, loss, aux = self.train_step(
-                        self.state, batch, self.lr_policy.lr, rng)
-                    losses.append(loss)
-                    if self.post_step is not None:
-                        self.post_step(aux, batch)
-                self.step_lr()
+        try:
+            for epoch in range(start_epoch + 1, self.cfg.tr.total_epochs + 1):
+                profiling = profile_dir and epoch == start_epoch + 2
+                if profiling:
+                    # profile the second epoch (first is compile-heavy)
+                    jax.profiler.start_trace(profile_dir)
+                # the interrupted epoch replays in full on resume, so a
+                # preemption snapshot must carry the epoch-BOUNDARY LR
+                # state, not the mid-epoch one
+                boundary_lr = self.lr_policy.state_dict()
+                train_ds.sample_tasks()
+                losses = []
+                step_rng = jax.random.PRNGKey(self.cfg.seed + epoch)
+                for step_i, batch in enumerate(train_loader):
+                    with timer.start():
+                        rng = jax.random.fold_in(step_rng, step_i)
+                        self.state, loss, aux = self.train_step(
+                            self.state, batch, self.lr_policy.lr, rng)
+                        losses.append(loss)
+                        if self.post_step is not None:
+                            self.post_step(aux, batch)
+                    self.step_lr()
+                    # graceful stop: single-process breaks at any step;
+                    # multi-process agrees via a world-OR on a FIXED step
+                    # schedule (the collective is synchronous — polling
+                    # the local flag alone would desync the world)
+                    if world == 1:
+                        self.preempted = stop.requested
+                    elif (step_i + 1) % STOP_SYNC_STEPS == 0:
+                        from pemp_tpu.parallel.mesh import any_process_flag
+                        self.preempted = any_process_flag(stop.requested)
+                    if self.preempted:
+                        break
 
-            if profile_dir and epoch == start_epoch + 2:
-                jax.profiler.stop_trace()
+                if profiling:
+                    jax.profiler.stop_trace()
 
-            train_loss = float(np.mean(jax.device_get(losses))) \
-                if losses else 0.0
-            self.try_snapshot(epoch)
-            mloss, miou, biou, best = self.evaluation(
-                epoch, evaluator, val_ds, val_loader, num_classes)
-            self.lr_policy.step_epoch(monitor_value=mloss)
-            self.log_result(epoch, train_loss, mloss, miou, biou, best,
-                            timer.cps)
-            timer.reset()
+                if self.preempted:
+                    self.try_snapshot(epoch - 1, final=True,
+                                      lr_state=boundary_lr)
+                    self.logger.info(C.c(
+                        f"Graceful stop inside epoch {epoch} — snapshot "
+                        f"records completed epoch {epoch - 1}; resume with "
+                        "`train with resume=True exp_id=<id>`", C.WARNING))
+                    return
+
+                train_loss = float(np.mean(jax.device_get(losses))) \
+                    if losses else 0.0
+                self.try_snapshot(epoch)
+                mloss, miou, biou, best = self.evaluation(
+                    epoch, evaluator, val_ds, val_loader, num_classes)
+                self.lr_policy.step_epoch(monitor_value=mloss)
+                self.log_result(epoch, train_loss, mloss, miou, biou, best,
+                                timer.cps)
+                timer.reset()
+        finally:
+            stop.restore()
 
         # record the reached epoch: a later `resume=True` with a larger
         # total_epochs continues from here instead of restarting at 0

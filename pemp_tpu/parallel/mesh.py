@@ -206,6 +206,18 @@ def broadcast_scalar_from_rank0(value: int) -> int:
         multihost_utils.broadcast_one_to_all(np.int64(value))))
 
 
+def any_process_flag(flag: bool) -> bool:
+    """World-OR of a host-side boolean (e.g. "this rank was told to
+    stop"). Synchronous across the world — every process must call it
+    the same number of times (the trainer does so on a fixed step
+    schedule). No-op single-process."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+    return bool(np.asarray(multihost_utils.process_allgather(
+        np.int32(bool(flag)))).max())
+
+
 def broadcast_bytes_from_rank0(data) -> bytes:
     """Ship rank 0's byte payload (checkpoint files) to every process.
 

@@ -118,9 +118,13 @@ class CaNetRuntime(EntryRuntime):
             logits = raw(batch)
             # eval loaders are unsharded (identical episode stream on
             # every host): batch names cover the FULL batch, so gather
-            # the full logits before writing history
-            self._write_history(fetch_global(logits), batch)
-            return logits
+            # the full logits before writing history. Return the gathered
+            # numpy value — the evaluator's metric tail re-fetches its
+            # input, and handing it the device array would pay the
+            # cross-host allgather a second time for identical bytes.
+            gathered = np.asarray(fetch_global(logits), np.float32)
+            self._write_history(gathered, batch)
+            return gathered
         return step
 
 

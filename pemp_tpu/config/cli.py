@@ -214,5 +214,9 @@ class Experiment:
         except Exception:
             run.finish("FAILED")
             raise
-        run.finish("COMPLETED", result)
+        # a preempted training run is not COMPLETED: record it with the
+        # same status Sacred uses for ctrl-C so run records distinguish
+        # resumable runs from finished ones
+        run.finish("INTERRUPTED" if result == "PREEMPTED" else "COMPLETED",
+                   result)
         return result

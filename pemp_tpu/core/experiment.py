@@ -321,19 +321,13 @@ class EntryRuntime:
         # prefetcher path declares the host batch process-local for
         # global-batch assembly (an unsharded loader yields the full
         # replicated value, which the serial path places correctly)
-        if cfg.tpu.prefetch > 0 or (jax.process_count() > 1
-                                    and self.shard_train_loader):
-            from pemp_tpu.parallel.step import DevicePrefetcher
-            shard = (mesh_lib.batch_sharding(self.mesh)
-                     if self.mesh is not None else None)
-            # a host-sharded train loader yields this process's SHARD of
-            # the global batch (global = bs * world); an unsharded one
-            # (shard_train_loader=False) yields the full value on every
-            # host, which is plain replicated device_put semantics
-            train_loader = DevicePrefetcher(
-                train_loader, shard, depth=cfg.tpu.prefetch,
-                compact_wire=cfg.tpu.compact_wire,
-                process_local=self.shard_train_loader)
+        # a host-sharded train loader yields this process's SHARD of
+        # the global batch (global = bs * world); an unsharded one
+        # (shard_train_loader=False) yields the full value on every
+        # host, which is plain replicated device_put semantics
+        train_loader = self._maybe_prefetch(
+            train_loader, process_local=self.shard_train_loader,
+            force=jax.process_count() > 1 and self.shard_train_loader)
         trainer = Trainer(cfg, run, state, train_step, lr_policy,
                           steps_per_epoch, self.name)
         trainer.post_step = self.post_step
@@ -423,20 +417,31 @@ class EntryRuntime:
         return load_snapshot_broadcast(cfg, cfg.exp_id, cfg.ckpt,
                                        variables, self.logger)
 
-    def _maybe_prefetch_eval(self, loader):
-        """Overlap eval-episode loading + H2D with device compute — the
-        TPU-native analog of the reference's pinned-memory DataLoader at
-        eval time. Runtimes whose eval write back into the batch stream
-        (CaNet's history adapter injects the PREVIOUS prediction into the
-        next episode) must keep the serial loader; ``supports_fast_eval``
-        already flags exactly those. ``tpu.prefetch=0`` disables."""
-        if not self.supports_fast_eval or self.cfg.tpu.prefetch <= 0:
+    def _maybe_prefetch(self, loader, process_local=False, force=False):
+        """Wrap ``loader`` in the DevicePrefetcher (overlap host loading +
+        H2D with device compute). ``tpu.prefetch=0`` keeps the serial
+        loader (debugging, A/B timing) unless ``force`` — a rank-sharded
+        multi-host train loader MUST go through the prefetcher because
+        only its ``device_batch(process_local=True)`` path assembles the
+        global batch from per-process shards."""
+        if self.cfg.tpu.prefetch <= 0 and not force:
             return loader
         from pemp_tpu.parallel.step import DevicePrefetcher
         shard = (mesh_lib.batch_sharding(self.mesh)
                  if self.mesh is not None else None)
         return DevicePrefetcher(loader, shard, depth=self.cfg.tpu.prefetch,
-                                compact_wire=self.cfg.tpu.compact_wire)
+                                compact_wire=self.cfg.tpu.compact_wire,
+                                process_local=process_local)
+
+    def _maybe_prefetch_eval(self, loader):
+        """Eval-side prefetch — the TPU-native analog of the reference's
+        pinned-memory DataLoader at eval time. Runtimes whose eval write
+        back into the batch stream (CaNet's history adapter injects the
+        PREVIOUS prediction into the next episode) must keep the serial
+        loader; ``supports_fast_eval`` already flags exactly those."""
+        if not self.supports_fast_eval:
+            return loader
+        return self._maybe_prefetch(loader)
 
     def _make_evaluator(self, mode):
         val_labels = datasets.get_val_labels(self.cfg, self.cfg.split)

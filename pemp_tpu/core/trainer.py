@@ -398,6 +398,19 @@ class Trainer:
                 if profiling:
                     jax.profiler.stop_trace()
 
+                # epoch-boundary catch: with fewer than STOP_SYNC_STEPS
+                # steps per rank the in-loop world-OR never fires, and a
+                # signal landing during the epoch tail (eval/snapshot)
+                # must not wait out another full epoch. Runs on every
+                # rank exactly once per epoch (fixed schedule), so the
+                # collective stays world-consistent.
+                if not self.preempted:
+                    if world == 1:
+                        self.preempted = stop.requested
+                    else:
+                        from pemp_tpu.parallel.mesh import any_process_flag
+                        self.preempted = any_process_flag(stop.requested)
+
                 if self.preempted:
                     self.try_snapshot(epoch - 1, final=True,
                                       lr_state=boundary_lr)

@@ -240,7 +240,18 @@ def broadcast_bytes_from_rank0(data) -> bytes:
         multihost_utils.broadcast_one_to_all(hdr)).tobytes())[0]
     if n == 0:
         return b""
-    arr = (np.frombuffer(data, np.uint8) if is_src
-           else np.zeros(n, np.uint8))
-    return np.asarray(
-        multihost_utils.broadcast_one_to_all(arr)).tobytes()
+    # chunked: broadcast_one_to_all stages its payload through device
+    # HBM, and a whole multi-GiB resume checkpoint (params + optimizer
+    # moments) would contend with the already-resident replicated train
+    # state — bound each collective at 256 MiB instead. Chunk count is
+    # derived from the already-agreed length, so every rank issues the
+    # same sequence of collectives.
+    chunk = 1 << 28
+    src = np.frombuffer(data, np.uint8) if is_src else None
+    pieces = []
+    for off in range(0, n, chunk):
+        m = min(chunk, n - off)
+        part = src[off:off + m] if is_src else np.zeros(m, np.uint8)
+        pieces.append(np.asarray(
+            multihost_utils.broadcast_one_to_all(part)).tobytes())
+    return b"".join(pieces)

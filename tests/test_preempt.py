@@ -130,6 +130,65 @@ def test_sigterm_mid_epoch_snapshots_boundary_state(tmp_path):
     assert epoch == 3
 
 
+def test_multihost_boundary_catch_without_in_loop_sync(tmp_path, monkeypatch):
+    """With fewer than STOP_SYNC_STEPS steps per epoch the in-loop
+    world-OR never fires — the epoch-boundary agreement must catch the
+    signal (otherwise a small-epoch pod ignores SIGTERM entirely)."""
+    import jax
+
+    from pemp_tpu.parallel import mesh as mesh_lib
+
+    calls_flag = []
+
+    def fake_any_process_flag(flag):
+        calls_flag.append(bool(flag))
+        return bool(flag)        # world-OR of one honest rank
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(mesh_lib, "any_process_flag", fake_any_process_flag)
+
+    # SIGTERM at step 2 of epoch 1; 4-step epochs < STOP_SYNC_STEPS
+    trainer, calls = _mk_trainer(tmp_path, kill_at=2)
+    trainer.start_training_loop(_DS(), _loader(), _Eval(), None, None, 2)
+
+    assert trainer.preempted
+    assert calls["n"] == STEPS_PER_EPOCH      # epoch 1 ran to its boundary
+    assert calls_flag == [True]               # exactly one boundary check
+    _, _, epoch, _ = ckpt_lib.load(trainer.model_dir / "ckpt.msgpack",
+                                   trainer._variables(),
+                                   trainer.state.opt_state)
+    assert epoch == 0                         # epoch 1 replays on resume
+
+
+def test_preempted_result_finishes_run_as_interrupted(tmp_path):
+    """cli.run_commandline records a preempted training run with the
+    INTERRUPTED status (like ctrl-C), not COMPLETED — run records must
+    distinguish resumable runs from finished ones."""
+    from pemp_tpu.config import Config, Experiment
+    from pemp_tpu.models import registry
+
+    cfg = Config()
+    cfg.net = registry.net_config("pemp_stage1")
+    cfg.g.model_dir = str(tmp_path)
+    ex = Experiment("t", cfg)
+    statuses = []
+
+    class _Obs:
+        def log_scalar(self, *a):
+            pass
+
+        def finish(self, status, result):
+            statuses.append((status, result))
+
+    @ex.command("probe")
+    def probe(cfg, run):
+        run.observers.append(_Obs())
+        return "PREEMPTED"
+
+    ex.run_commandline(["probe", "with", "split=0", "-u"])
+    assert statuses == [("INTERRUPTED", "PREEMPTED")]
+
+
 def test_completed_run_is_not_marked_preempted(tmp_path):
     trainer, calls = _mk_trainer(tmp_path)
     trainer.start_training_loop(_DS(), _loader(), _Eval(), None, None, 2)

@@ -17,7 +17,6 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pemp_tpu.ops.dtypes import f32up
 
 from pemp_tpu.models import backbones
 from pemp_tpu.models.common import RESNET_LAYERS, output_resize
@@ -70,7 +69,9 @@ class Baseline(nn.Module):
             raise ValueError(
                 f"Not supported backbone '{self.backbone}'. [vgg16, resnet50]")
 
-        fts = f32up(fts)
+        # model-dtype features through the split; pooling and cosine ops
+        # upcast internally (ops/prototypes.py), so the eager f32up only
+        # cost an extra HBM pass of the largest activation on TPU
         h, w = fts.shape[1:3]
         c = fts.shape[-1]
         fts = fts.reshape(b, s + q, h, w, c)

@@ -18,7 +18,6 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from pemp_tpu.core.losses import cross_entropy_no_ignore
-from pemp_tpu.ops.dtypes import f32up
 
 from pemp_tpu.models import backbones
 from pemp_tpu.models.common import RESNET_LAYERS, output_resize
@@ -70,7 +69,8 @@ class PANet(nn.Module):
             raise ValueError(
                 f"Not supported backbone '{self.backbone}'. [vgg16, resnet50]")
 
-        fts = f32up(fts)
+        # model-dtype features through the split; pooling/cosine upcast
+        # internally (ops/prototypes.py) — see pemp_stage1.py
         h, w = fts.shape[1:3]
         c = fts.shape[-1]
         fts = fts.reshape(b, s + q, h, w, c)

@@ -19,7 +19,6 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pemp_tpu.ops.dtypes import f32up
 
 from pemp_tpu.models import backbones
 from pemp_tpu.models.common import (
@@ -140,7 +139,11 @@ class PEMPStage1(nn.Module):
                 f"Not supported backbone '{self.backbone}'. "
                 "[vgg16, resnet50, resnet101]")
 
-        fts = f32up(fts)
+        # fts stays in model dtype (bf16 on TPU) through the reshape/split:
+        # the prototype ops (ops/prototypes.py) and the Pallas kernels both
+        # upcast to f32 at their own boundary (bf16->f32 is exact), and an
+        # eager f32up here costs full-tensor HBM passes of the largest
+        # activation in the model (trace: tools/profile_eval.py).
         h, w = fts.shape[1:3]
         c = fts.shape[-1]
         fts = fts.reshape(b, s + q, h * w, c)

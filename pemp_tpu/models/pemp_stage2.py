@@ -79,7 +79,8 @@ class PEMPStage2(nn.Module):
                 f"Not supported backbone '{self.backbone}'. "
                 "[vgg16, resnet50, resnet101]")
 
-        fts = f32up(fts)
+        # model-dtype features through the split; the prototype ops and
+        # Pallas kernels upcast at their own boundary (see pemp_stage1.py)
         h, w = fts.shape[1:3]
         c = fts.shape[-1]
         fts = fts.reshape(b, s + q, h * w, c)

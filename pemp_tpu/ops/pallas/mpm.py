@@ -68,6 +68,17 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _wire_dtype(x):
+    """HBM wire dtype for the big feature inputs: bf16/f16 stay narrow —
+    the kernels upcast to f32 on the VMEM load (exact conversion, so the
+    result is bit-identical to padding an f32 copy) and the padded HBM
+    staging buffer moves half the bytes (trace: tools/profile_eval.py
+    found the f32 staging copies cost ~10% of the eval step at B=256).
+    Anything wider (f32, and f64 from x64 test runs) stages as f32,
+    which is what the kernels have always computed at."""
+    return x.dtype if x.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
+
+
 # ---------------------------------------------------------------------------
 # kernel 1: meta-prototype soft assignment (accumulating over pixel tiles)
 # ---------------------------------------------------------------------------
@@ -134,8 +145,9 @@ def meta_prototype_assign_pallas(sup_fts, sup_fg, sup_bg, ctr, protos: int,
     n_tiles = n_pad // tn
     bs = b * s
 
-    f = jnp.zeros((bs, n_pad, c), jnp.float32)
-    f = f.at[:, :n].set(sup_fts.reshape(bs, n, c).astype(jnp.float32))
+    fdt = _wire_dtype(sup_fts)
+    f = jnp.zeros((bs, n_pad, c), fdt)
+    f = f.at[:, :n].set(sup_fts.reshape(bs, n, c).astype(fdt))
     mask = jnp.zeros((bs, n_pad, 2), jnp.float32)
     mask = mask.at[:, :n, 0].set(sup_fg.reshape(bs, n))
     mask = mask.at[:, :n, 1].set(sup_bg.reshape(bs, n))
@@ -234,8 +246,9 @@ def prototype_match_pallas(qry_fts, fg_proto, bg_proto,
     n_tiles = n_pad // tn
     bq = b * q
 
-    qf = jnp.zeros((bq, n_pad, c), jnp.float32)
-    qf = qf.at[:, :n].set(qry_fts.reshape(bq, n, c).astype(jnp.float32))
+    qdt = _wire_dtype(qry_fts)
+    qf = jnp.zeros((bq, n_pad, c), qdt)
+    qf = qf.at[:, :n].set(qry_fts.reshape(bq, n, c).astype(qdt))
     # class-major packing: [fg x p_pad, bg x p_pad]; padded prototype rows
     # are 0 (cosine denominator clamps at eps) and masked with -inf anyway.
     pk = jnp.zeros((b, 2 * p_pad, c), jnp.float32)

@@ -80,3 +80,32 @@ def test_assign_kernel_well_separated_classes_no_overflow():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(b1), np.asarray(b2),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_kernels_bf16_wire_bitmatch_f32_upcast():
+    """bf16 features stay bf16 on the HBM wire (the kernels upcast in
+    VMEM) — the result must be BIT-identical to upcasting to f32 first,
+    because bf16->f32 conversion is exact. Guards the model-level change
+    that dropped the eager f32up before the reshape/split."""
+    rng = np.random.RandomState(7)
+    b, s, n, c, p = 2, 1, 100, 128, 3
+    sup16 = jnp.asarray(rng.randn(b, s, n, c), jnp.bfloat16)
+    fg = jnp.asarray((rng.rand(b, s, n) > 0.6).astype(np.float32))
+    bg = 1.0 - fg
+    ctr = jnp.asarray(rng.rand(c, 2 * p).astype(np.float32))
+
+    f16, b16 = meta_prototype_assign_pallas(sup16, fg, bg, ctr, p,
+                                            interpret=True)
+    f32, b32 = meta_prototype_assign_pallas(sup16.astype(jnp.float32),
+                                            fg, bg, ctr, p, interpret=True)
+    np.testing.assert_array_equal(np.asarray(f16), np.asarray(f32))
+    np.testing.assert_array_equal(np.asarray(b16), np.asarray(b32))
+
+    qry16 = jnp.asarray(rng.randn(b, 1, n, c), jnp.bfloat16)
+    l16, i16 = prototype_match_pallas(qry16, f16, b16, 20.0,
+                                      return_indices=True, interpret=True)
+    l32, i32 = prototype_match_pallas(qry16.astype(jnp.float32), f16, b16,
+                                      20.0, return_indices=True,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(l16), np.asarray(l32))
+    np.testing.assert_array_equal(np.asarray(i16), np.asarray(i32))

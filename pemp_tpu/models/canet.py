@@ -25,7 +25,6 @@ from typing import Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pemp_tpu.ops.dtypes import f32up
 
 from pemp_tpu.models import backbones
 from pemp_tpu.models.common import RESNET_LAYERS, output_resize
@@ -108,7 +107,10 @@ class CaNet(nn.Module):
                                       name="backbone")(imgs, train)
         del f1
 
-        feat = f32up(jnp.concatenate([f2, f3], axis=-1))
+        # no eager upcast: layer5 (dtype=self.dtype) would cast straight
+        # back, so f32up here only materialized a [2B,h,w,1536] f32 copy
+        # (bf16->f32->bf16 is an exact round trip)
+        feat = jnp.concatenate([f2, f3], axis=-1)
         feat = ConvReluDrop(256, (3, 3), padding=2, dilation=2,
                             drop_rate=self.drop_rate, dtype=self.dtype,
                             name="layer5")(feat, train)

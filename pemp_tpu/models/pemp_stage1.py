@@ -92,6 +92,23 @@ def mpm_predict(sup_fts, qry_fts, sup_fg, sup_bg, ctr, protos, dist_scalar,
     return logits
 
 
+def mpm_predict_packed(fts, s, sup_fg, sup_bg, ctr, protos, dist_scalar,
+                       ret_ind=False, use_pallas=False, mesh=None):
+    """``mpm_predict`` on the PACKED features [B,S+Q,n,c] (the purifier
+    output straight after its reshape). On the fused-kernel training/eval
+    path the support/query split happens inside the kernels' index_maps
+    (ops/pallas/mpm.py mpm_chain_packed_pallas) so the largest activation
+    is staged to HBM exactly once; every other path splits here and
+    delegates to ``mpm_predict``."""
+    if (ctr is not None and use_pallas and not ret_ind):
+        from pemp_tpu.ops.pallas.mpm_vjp import mpm_fused_chain_packed
+        return mpm_fused_chain_packed(fts, sup_fg, sup_bg, ctr, protos,
+                                      dist_scalar, mesh=mesh)
+    return mpm_predict(fts[:, :s], fts[:, s:], sup_fg, sup_bg, ctr,
+                       protos, dist_scalar, ret_ind=ret_ind,
+                       use_pallas=use_pallas, mesh=mesh)
+
+
 def response_map(logits, indices, protos):
     """argmax-prototype response map: bg index where bg wins, fg index + p
     where fg wins (reference :217-222 with p=3 giving bg 0-2 / fg 3-5)."""
@@ -147,7 +164,6 @@ class PEMPStage1(nn.Module):
         h, w = fts.shape[1:3]
         c = fts.shape[-1]
         fts = fts.reshape(b, s + q, h * w, c)
-        sup_fts, qry_fts = fts[:, :s], fts[:, s:]
         sup_fg, sup_bg = downsample_masks(sup_mask, (h, w))
 
         if self.protos > 0:
@@ -155,9 +171,11 @@ class PEMPStage1(nn.Module):
                              (c, self.protos * 2))
         else:
             ctr = None
-        out = mpm_predict(sup_fts, qry_fts, sup_fg, sup_bg, ctr,
-                          self.protos, self.dist_scalar, ret_ind=ret_ind,
-                          use_pallas=self.use_pallas, mesh=self.pallas_mesh)
+        out = mpm_predict_packed(fts, s, sup_fg, sup_bg, ctr,
+                                 self.protos, self.dist_scalar,
+                                 ret_ind=ret_ind,
+                                 use_pallas=self.use_pallas,
+                                 mesh=self.pallas_mesh)
 
         if ret_ind:
             logits, indices = out

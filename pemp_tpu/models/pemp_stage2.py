@@ -27,7 +27,7 @@ from pemp_tpu.models.common import (
     RESNET_LAYERS, PurifierV1, downsample_masks, output_resize,
 )
 from pemp_tpu.models.layers import Dtype
-from pemp_tpu.models.pemp_stage1 import mpm_predict, response_map
+from pemp_tpu.models.pemp_stage1 import mpm_predict_packed, response_map
 from pemp_tpu.ops.resize import resize_nearest
 
 
@@ -84,7 +84,6 @@ class PEMPStage2(nn.Module):
         h, w = fts.shape[1:3]
         c = fts.shape[-1]
         fts = fts.reshape(b, s + q, h * w, c)
-        sup_fts, qry_fts = fts[:, :s], fts[:, s:]
         sup_fg, sup_bg = downsample_masks(sup_mask, (h, w))
 
         if self.protos > 0:
@@ -92,9 +91,11 @@ class PEMPStage2(nn.Module):
                              (c, self.protos * 2))
         else:
             ctr = None
-        out = mpm_predict(sup_fts, qry_fts, sup_fg, sup_bg, ctr,
-                          self.protos, self.dist_scalar, ret_ind=ret_ind,
-                          use_pallas=self.use_pallas, mesh=self.pallas_mesh)
+        out = mpm_predict_packed(fts, s, sup_fg, sup_bg, ctr,
+                                 self.protos, self.dist_scalar,
+                                 ret_ind=ret_ind,
+                                 use_pallas=self.use_pallas,
+                                 mesh=self.pallas_mesh)
 
         if ret_ind:
             logits, indices = out

@@ -293,3 +293,127 @@ def prototype_match_pallas(qry_fts, fg_proto, bg_proto,
         inds = inds[:, :n, :].reshape(b, q, n, 2)
         return logits, inds
     return logits
+
+
+# ---------------------------------------------------------------------------
+# packed chain: assign + match off ONE staged copy of the un-split features
+# ---------------------------------------------------------------------------
+
+def mpm_chain_packed_pallas(fts, sup_fg, sup_bg, ctr, protos: int,
+                            dist_scalar: float = 20.0,
+                            eps: float = 1e-6, cos_eps: float = 1e-8,
+                            return_residuals: bool = False,
+                            interpret: bool = False):
+    """assign -> match with the support/query split done by the kernels.
+
+    fts [B, S+Q, n, c] is the purifier output straight after its
+    ``reshape(b, s+q, h*w, c)`` — NOT split into sup/qry. Both kernels
+    read one shared padded staging buffer; the BlockSpec index_maps pick
+    the support rows ((i//S)*(S+Q) + i%S) for the assignment grid and
+    the query rows ((i//Q)*(S+Q) + S + i%Q) for the matching grid. This
+    replaces the model-side slice plus two separate staging pads with a
+    single fused relayout+pad pass over the largest activation (the
+    remaining ~5% of the eval step after the bf16-wire fix —
+    tools/profile_eval.py).
+
+    Bit-identical to meta_prototype_assign_pallas + prototype_match_pallas
+    on the split views (tests/test_pallas_kernels.py). Returns logits
+    [B,Q,n,2]; with ``return_residuals`` also (inds, fg_proto, bg_proto)
+    for the custom-VJP wrapper.
+    """
+    b, sq, n, c = fts.shape
+    s = sup_fg.shape[1]
+    q = sq - s
+    p_pad = max(_round_up(protos, 4), 4)
+    tn = min(ROW_TILE, _round_up(n, 8))
+    n_pad = _round_up(n, tn)
+    n_tiles = n_pad // tn
+
+    fdt = _wire_dtype(fts)
+    stage = jnp.zeros((b * sq, n_pad, c), fdt)
+    stage = stage.at[:, :n].set(fts.reshape(b * sq, n, c).astype(fdt))
+
+    mask = jnp.zeros((b * s, n_pad, 2), jnp.float32)
+    mask = mask.at[:, :n, 0].set(sup_fg.reshape(b * s, n))
+    mask = mask.at[:, :n, 1].set(sup_bg.reshape(b * s, n))
+
+    ctr_pad = jnp.zeros((c, 2 * p_pad), jnp.float32)
+    ctr_pad = ctr_pad.at[:, :protos].set(ctr[:, :protos])
+    ctr_pad = ctr_pad.at[:, p_pad:p_pad + protos].set(ctr[:, protos:])
+    padmask = np.zeros((1, 2 * p_pad), np.float32)
+    padmask[0, protos:p_pad] = NEG
+    padmask[0, p_pad + protos:] = NEG
+    padmask = jnp.asarray(padmask)
+
+    kernel = functools.partial(_assign_kernel, protos_pad=p_pad)
+    num, den = pl.pallas_call(
+        kernel,
+        grid=(b * s, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tn, c),
+                         lambda i, j: ((i // s) * sq + i % s, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 2 * p_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * p_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 2 * p_pad, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 2 * p_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * s, 2 * p_pad, c), jnp.float32),
+            jax.ShapeDtypeStruct((b * s, 1, 2 * p_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(stage, mask, ctr_pad, padmask)
+
+    num = num.reshape(b, s, 2 * p_pad, c)
+    den = den.reshape(b, s, 2 * p_pad)[..., None]
+    proto = jnp.mean(num / (den + eps), axis=1)          # [b, 2p_pad, c]
+    fg_proto = proto[:, :protos]
+    bg_proto = proto[:, p_pad:p_pad + protos]
+
+    pk = jnp.zeros((b, 2 * p_pad, c), jnp.float32)
+    pk = pk.at[:, :protos].set(fg_proto)
+    pk = pk.at[:, p_pad:p_pad + protos].set(bg_proto)
+    if q != 1:
+        pk = jnp.repeat(pk, q, axis=0)
+
+    mkernel = functools.partial(_match_kernel, protos_pad=p_pad,
+                                dist_scalar=dist_scalar, cos_eps=cos_eps)
+    logits, inds = pl.pallas_call(
+        mkernel,
+        grid=(b * q, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tn, c),
+                         lambda i, j: ((i // q) * sq + s + i % q, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * p_pad, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * p_pad), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tn, 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn, 2), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * q, n_pad, 2), jnp.float32),
+            jax.ShapeDtypeStruct((b * q, n_pad, 2), jnp.int32),
+        ],
+        interpret=interpret,
+    )(stage, pk, padmask)
+
+    logits = logits[:, :n, :].reshape(b, q, n, 2)
+    if return_residuals:
+        inds = inds[:, :n, :].reshape(b, q, n, 2)
+        return logits, inds, fg_proto, bg_proto
+    return logits

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from jax import lax
 
 from pemp_tpu.ops.pallas.mpm import (
-    meta_prototype_assign_pallas, prototype_match_pallas,
+    meta_prototype_assign_pallas, mpm_chain_packed_pallas,
+    prototype_match_pallas,
 )
 
 _HI = lax.Precision.HIGHEST
@@ -186,6 +187,68 @@ def _match_bwd(dist_scalar, cos_eps, interpret, res, g):
 
 
 prototype_match_fused.defvjp(_match_fwd, _match_bwd)
+
+
+# ---------------------------------------------------------------------------
+# packed chain: one custom VJP over assign+match on the un-split features
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def mpm_packed_fused(fts, sup_fg, sup_bg, ctr, protos, dist_scalar,
+                     interpret=False):
+    """Differentiable fused chain on the PACKED features [B,S+Q,n,c]
+    (kernels do the support/query split via index_maps — one staging
+    pass, see mpm.mpm_chain_packed_pallas). Gradient semantics are the
+    composition of the two per-kernel analytic backwards below; the
+    fts cotangent is their concat along the S+Q axis (the exact
+    transpose of the slicing the unpacked path did in the model)."""
+    return mpm_chain_packed_pallas(fts, sup_fg, sup_bg, ctr, protos,
+                                   dist_scalar, interpret=interpret)
+
+
+def _packed_fwd(fts, sup_fg, sup_bg, ctr, protos, dist_scalar, interpret):
+    logits, inds, fg_proto, bg_proto = mpm_chain_packed_pallas(
+        fts, sup_fg, sup_bg, ctr, protos, dist_scalar,
+        return_residuals=True, interpret=interpret)
+    return logits, (fts, sup_fg, sup_bg, ctr, inds, fg_proto, bg_proto)
+
+
+def _packed_bwd(protos, dist_scalar, interpret, res, g):
+    fts, sup_fg, sup_bg, ctr, inds, fg_proto, bg_proto = res
+    s = sup_fg.shape[1]
+    sup_fts, qry_fts = fts[:, :s], fts[:, s:]
+    g_qry, g_fgp, g_bgp = _match_bwd(
+        dist_scalar, 1e-8, interpret,
+        (qry_fts, fg_proto, bg_proto, inds), g)
+    g_sup, g_fg, g_bg, g_ctr = _assign_bwd(
+        protos, 1e-6, interpret,
+        (sup_fts, sup_fg, sup_bg, ctr), (g_fgp, g_bgp))
+    g_fts = jnp.concatenate([g_sup, g_qry], axis=1).astype(fts.dtype)
+    return g_fts, g_fg, g_bg, g_ctr
+
+
+mpm_packed_fused.defvjp(_packed_fwd, _packed_bwd)
+
+
+def mpm_fused_chain_packed(fts, sup_fg, sup_bg, ctr, protos, dist_scalar,
+                           mesh=None, interpret=False):
+    """Packed-feature twin of ``mpm_fused_chain`` (same shard_map gating:
+    episodes are batch-independent; the replicated ``ctr`` cotangent is
+    psum'd by shard_map's transpose rule)."""
+    def chain(f, fg, bg, c):
+        return mpm_packed_fused(f, fg, bg, c, protos, dist_scalar,
+                                interpret)
+
+    if (mesh is not None and mesh.size > 1
+            and fts.shape[0] % mesh.size == 0):
+        from jax.sharding import PartitionSpec as P
+        ax = mesh.axis_names[0]
+        return jax.shard_map(
+            chain, mesh=mesh,
+            in_specs=(P(ax), P(ax), P(ax), P(None)),
+            out_specs=P(ax), check_vma=False)(
+                fts, sup_fg, sup_bg, ctr)
+    return chain(fts, sup_fg, sup_bg, ctr)
 
 
 def mpm_fused_chain(sup_fts, sup_fg, sup_bg, qry_fts, ctr, protos,

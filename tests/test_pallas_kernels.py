@@ -109,3 +109,31 @@ def test_kernels_bf16_wire_bitmatch_f32_upcast():
                                       interpret=True)
     np.testing.assert_array_equal(np.asarray(l16), np.asarray(l32))
     np.testing.assert_array_equal(np.asarray(i16), np.asarray(i32))
+
+
+@pytest.mark.parametrize("s,q,dtype", [(1, 1, "float32"), (2, 1, "bfloat16"),
+                                       (1, 2, "float32")])
+def test_packed_chain_bitmatches_unpacked_kernels(s, q, dtype):
+    """mpm_chain_packed_pallas (support/query split via index_maps off one
+    staged buffer) must be BIT-identical to running the two kernels on
+    the split views."""
+    from pemp_tpu.ops.pallas.mpm import mpm_chain_packed_pallas
+
+    rng = np.random.RandomState(31)
+    b, n, c, p = 2, 100, 128, 3
+    fts = jnp.asarray(rng.randn(b, s + q, n, c), getattr(jnp, dtype))
+    fg = jnp.asarray((rng.rand(b, s, n) > 0.6).astype(np.float32))
+    bg = 1.0 - fg
+    ctr = jnp.asarray(rng.rand(c, 2 * p).astype(np.float32))
+
+    lp, ip, fp, bp = mpm_chain_packed_pallas(
+        fts, fg, bg, ctr, p, 20.0, return_residuals=True, interpret=True)
+
+    f1, b1 = meta_prototype_assign_pallas(fts[:, :s], fg, bg, ctr, p,
+                                          interpret=True)
+    l1, i1 = prototype_match_pallas(fts[:, s:], f1, b1, 20.0,
+                                    return_indices=True, interpret=True)
+    np.testing.assert_array_equal(np.asarray(fp), np.asarray(f1))
+    np.testing.assert_array_equal(np.asarray(bp), np.asarray(b1))
+    np.testing.assert_array_equal(np.asarray(lp), np.asarray(l1))
+    np.testing.assert_array_equal(np.asarray(ip), np.asarray(i1))

@@ -192,3 +192,80 @@ def test_mpm_fused_chain_mesh_indivisible_batch_falls_back():
         f, g = meta_prototype_assign(sup, fg, bg, ctr, 3)
         want = prototype_predictions(qry, f, g, 20.0)
         _close(got, want)
+
+
+@pytest.mark.parametrize("s,q", [(1, 1), (2, 1), (1, 2)])
+def test_mpm_packed_fused_matches_autodiff(s, q):
+    """The PACKED chain (kernels split support/query via index_maps, one
+    staging pass) — values and every-input grads vs jax.grad of the jnp
+    ground truth on the split views. The packed features get ONE
+    cotangent (the concat of the sup/qry cotangents: the exact transpose
+    of the slicing the unpacked model code did)."""
+    from pemp_tpu.ops.pallas.mpm_vjp import mpm_fused_chain_packed
+
+    rng = np.random.RandomState(23)
+    b, n, c, p = 2, 81, 64, 3
+    fts = jnp.asarray(rng.randn(b, s + q, n, c).astype(np.float32))
+    fg = jnp.asarray((rng.rand(b, s, n) > 0.5).astype(np.float32))
+    bg = 1.0 - fg
+    ctr = jnp.asarray(rng.rand(c, 2 * p).astype(np.float32))
+    w = jnp.asarray(rng.randn(b, q, n, 2).astype(np.float32))
+
+    def loss_ref(fts, fg, bg, ctr):
+        f, g = meta_prototype_assign(fts[:, :s], fg, bg, ctr, p)
+        return jnp.sum(prototype_predictions(fts[:, s:], f, g, 20.0) * w)
+
+    def loss_packed(fts, fg, bg, ctr):
+        lg = mpm_fused_chain_packed(fts, fg, bg, ctr, p, 20.0,
+                                    interpret=True)
+        return jnp.sum(lg * w)
+
+    v1, g1 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3))(
+        fts, fg, bg, ctr)
+    v2, g2 = jax.value_and_grad(loss_packed, argnums=(0, 1, 2, 3))(
+        fts, fg, bg, ctr)
+    _close(v1, v2)
+    for a, b_ in zip(g1, g2):
+        _close(a, b_)
+
+
+def test_mpm_packed_fused_shard_map_and_fallback():
+    """Packed chain under the 8-device mesh (values + grads incl. the
+    psum'd ctr cotangent) and the mesh-indivisible fallback."""
+    from pemp_tpu.ops.pallas.mpm_vjp import mpm_fused_chain_packed
+    from pemp_tpu.parallel import mesh as mesh_lib
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = mesh_lib.data_mesh(8)
+
+    rng = np.random.RandomState(29)
+    b, s, n, c, p = 16, 1, 50, 64, 3
+    fts = jnp.asarray(rng.randn(b, s + 1, n, c).astype(np.float32))
+    fg = jnp.asarray((rng.rand(b, s, n) > 0.5).astype(np.float32))
+    bg = 1.0 - fg
+    ctr = jnp.asarray(rng.rand(c, 2 * p).astype(np.float32))
+    w = jnp.asarray(rng.randn(b, 1, n, 2).astype(np.float32))
+
+    def loss_ref(fts, ctr):
+        f, g = meta_prototype_assign(fts[:, :s], fg, bg, ctr, p)
+        return jnp.sum(prototype_predictions(fts[:, s:], f, g, 20.0) * w)
+
+    def loss_packed(fts, ctr):
+        lg = mpm_fused_chain_packed(fts, fg, bg, ctr, p, 20.0,
+                                    mesh=mesh, interpret=True)
+        return jnp.sum(lg * w)
+
+    v1, g1 = jax.value_and_grad(loss_ref, argnums=(0, 1))(fts, ctr)
+    v2, g2 = jax.value_and_grad(loss_packed, argnums=(0, 1))(fts, ctr)
+    _close(v1, v2)
+    for a, b_ in zip(g1, g2):
+        _close(a, b_)
+
+    # indivisible batch falls back to the plain kernels
+    fts3 = fts[:3]
+    got = mpm_fused_chain_packed(fts3, fg[:3], bg[:3], ctr, p, 20.0,
+                                 mesh=mesh, interpret=True)
+    f, g = meta_prototype_assign(fts3[:, :s], fg[:3], bg[:3], ctr, p)
+    want = prototype_predictions(fts3[:, s:], f, g, 20.0)
+    _close(got, want)

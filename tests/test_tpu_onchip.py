@@ -208,3 +208,54 @@ def test_onchip_whole_model_pallas_vs_jnp_eval_counts():
     c_p = np.asarray(tp_fp_fn(jnp.asarray(pred_p), jnp.asarray(labels)))
     c_j = np.asarray(tp_fp_fn(jnp.asarray(pred_j), jnp.asarray(labels)))
     assert np.abs(c_p - c_j).max() <= int(0.005 * pred_p.size)
+
+
+def test_onchip_packed_chain_vjp():
+    """The PACKED fused chain COMPILED on chip: forward bit-path vs the
+    jnp ground truth on split views, grads for every input vs jax.grad
+    (the model's training/eval path after the packed-boundary change)."""
+    from pemp_tpu.ops.pallas.mpm_vjp import mpm_fused_chain_packed
+    from pemp_tpu.ops.prototypes import (
+        meta_prototype_assign, prototype_predictions,
+    )
+
+    rng = np.random.RandomState(41)
+    b, s, n, c, p = 2, 1, 81, 128, 3
+    fts = jnp.asarray(rng.randn(b, s + 1, n, c).astype(np.float32))
+    fg = jnp.asarray((rng.rand(b, s, n) > 0.5).astype(np.float32))
+    bg = 1.0 - fg
+    ctr = jnp.asarray(rng.rand(c, 2 * p).astype(np.float32))
+    w = jnp.asarray(rng.randn(b, 1, n, 2).astype(np.float32))
+
+    def loss_ref(fts, fg, bg, ctr):
+        f, g = meta_prototype_assign(fts[:, :s], fg, bg, ctr, p)
+        return jnp.sum(prototype_predictions(fts[:, s:], f, g, 20.0) * w)
+
+    def loss_packed(fts, fg, bg, ctr):
+        return jnp.sum(mpm_fused_chain_packed(fts, fg, bg, ctr, p, 20.0) * w)
+
+    v1, g1 = jax.jit(jax.value_and_grad(loss_ref, argnums=(0, 1, 2, 3)))(
+        fts, fg, bg, ctr)
+    v2, g2 = jax.jit(jax.value_and_grad(loss_packed, argnums=(0, 1, 2, 3)))(
+        fts, fg, bg, ctr)
+    _close(v1, v2)
+    for a, b_ in zip(g1, g2):
+        _close(a, b_)
+
+
+def test_onchip_packed_chain_bf16_wire():
+    """bf16 packed features through the compiled kernels must equal the
+    f32-upcast path bit-for-bit (the HBM-wire dtype change)."""
+    from pemp_tpu.ops.pallas.mpm import mpm_chain_packed_pallas
+
+    rng = np.random.RandomState(43)
+    b, s, n, c, p = 2, 1, 100, 128, 3
+    fts16 = jnp.asarray(rng.randn(b, s + 1, n, c), jnp.bfloat16)
+    fg = jnp.asarray((rng.rand(b, s, n) > 0.6).astype(np.float32))
+    bg = 1.0 - fg
+    ctr = jnp.asarray(rng.rand(c, 2 * p).astype(np.float32))
+
+    l16 = mpm_chain_packed_pallas(fts16, fg, bg, ctr, p, 20.0)
+    l32 = mpm_chain_packed_pallas(fts16.astype(jnp.float32), fg, bg,
+                                  ctr, p, 20.0)
+    np.testing.assert_array_equal(np.asarray(l16), np.asarray(l32))

@@ -109,6 +109,37 @@ def row_cascade(shot, on_tpu, dtype):
             "value": round(eps, 1), "unit": "episodes/s"}
 
 
+def row_s1_5shot(on_tpu, dtype):
+    """PEMP-s1 5-shot eval (the S>1 packed-kernel path compiled):
+    same counts protocol as bench.py, S=5 support images."""
+    from pemp_tpu.core.metrics import tp_fp_fn
+    from pemp_tpu.models.pemp_stage1 import PEMPStage1
+
+    hw = 401 if on_tpu else 33
+    b = 64 if on_tpu else 2
+    model = PEMPStage1(backbone="resnet50", dtype=dtype,
+                       use_pallas=on_tpu)
+    rng = np.random.RandomState(0)
+    sup, msk, qry = episode_arrays(rng, b, 5, 1, hw)
+    ref = jnp.asarray(rng.randint(0, 2, (b, hw, hw)).astype(np.int32))
+
+    variables = jax.jit(lambda a, m, q: model.init(
+        {"params": jax.random.PRNGKey(0)}, a, m, q, out_hw=None))(
+        sup[:1], msk[:1], qry[:1])
+
+    @jax.jit
+    def step(v, sup, msk, qry, ref):
+        lg = model.apply(v, sup, msk, qry, out_hw=(hw, hw), train=False)
+        pred = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        refs = jnp.repeat(ref, pred.shape[1], axis=0)
+        return jax.vmap(tp_fp_fn)(pred.reshape(-1, hw, hw), refs).sum(0)
+
+    eps = bench_fn(lambda: step(variables, sup, msk, qry, ref), b, on_tpu)
+    return {"metric": f"pemp_stage1 5-shot eval eps/s/chip ({hw}x{hw}, "
+                      f"B={b})",
+            "value": round(eps, 1), "unit": "episodes/s"}
+
+
 def row_model(name, hw_tpu, batch_tpu, on_tpu, dtype):
     hw = hw_tpu if on_tpu else 33
     b = batch_tpu if on_tpu else 2
@@ -154,6 +185,7 @@ def row_model(name, hw_tpu, batch_tpu, on_tpu, dtype):
 ROWS = {
     "cascade1": lambda on, dt: row_cascade(1, on, dt),
     "cascade5": lambda on, dt: row_cascade(5, on, dt),
+    "s1shot5": lambda on, dt: row_s1_5shot(on, dt),
     "canet321": lambda on, dt: row_model("canet", 321, 32, on, dt),
     "rpmms481": lambda on, dt: row_model("rpmms", 481, 16, on, dt),
     "pfenet473": lambda on, dt: row_model("pfenet", 473, 8, on, dt),

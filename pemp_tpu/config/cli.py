@@ -104,6 +104,17 @@ class Experiment:
                 "resume=True requires exp_id=<run id of the run to "
                 f"resume> (got exp_id={cfg.exp_id})")
 
+        # Rank-0-only recording must hold for DIRECT assemble() callers
+        # too (library use, test workers) — not just run_commandline:
+        # otherwise every rank races mkdir for the same run id, and
+        # whichever NON-recording rank wins leaves a run dir with no
+        # ckpt.msgpack, so a later resume=True exp_id=N silently
+        # restarts from scratch (caught live by
+        # tests/test_distributed_2proc.py::test_two_process_resume).
+        if observed and command in ("train", "test"):
+            import jax
+            if jax.distributed.is_initialized() and jax.process_index() != 0:
+                observed = False
         run_id, run_dir = None, None
         if observed and command in ("train", "test") and cfg.g.fileStorage:
             tag_dir = Path(cfg.g.model_dir) / str(cfg.tag)
@@ -197,11 +208,9 @@ class Experiment:
                 f"Available: {', '.join(sorted(self.commands))}")
 
         # Multi-host: initialize jax.distributed BEFORE any jax op (and
-        # before run-dir creation — only process 0 records the run).
+        # before run-dir creation — assemble() gates recording to rank 0).
         from pemp_tpu.parallel.mesh import initialize_distributed
-        if initialize_distributed():
-            import jax
-            observed = observed and jax.process_index() == 0
+        initialize_distributed()
 
         cfg, run = self.assemble(command, overrides, observed=observed)
         if print_cfg and command != "print_config":

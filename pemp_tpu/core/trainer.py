@@ -447,7 +447,9 @@ class Trainer:
         best = False
         if miou > self.best_iou:
             self.best_iou, self.best_epoch = miou, epoch
-            if self.do_ckpt:
+            # rank-0-only like try_snapshot: a non-zero rank handed an
+            # observed run must still not write checkpoint files
+            if self.do_ckpt and jax.process_index() == 0:
                 ckpt_lib.save(self.model_dir / "bestckpt.msgpack",
                               self._variables(), self.state.opt_state, epoch)
                 best = True

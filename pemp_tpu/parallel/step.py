@@ -139,6 +139,10 @@ def make_train_step(loss_fn: Callable, tx,
         batch = device_batch(host_batch, shard, compact_wire)
         return jit_step(state, batch, jnp.float32(lr), rng)
 
+    # exposed for tooling (tools/bench_train_zoo.py lowers the inner jit
+    # for XLA cost analysis; the wrapper itself is not a jax.stages object)
+    step.jit_step = jit_step
+    step.sharding = shard
     return step
 
 

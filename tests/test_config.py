@@ -112,3 +112,27 @@ def test_print_config_flag_prints_then_runs(tmp_path, capsys):
     ex.run_commandline(["probe", "with", "split=1", "-u"])
     assert "split" not in capsys.readouterr().out
     assert ran == [1]
+
+
+def test_assemble_gates_recording_to_rank0(tmp_path, monkeypatch):
+    """Direct assemble() callers in a multi-process world must not race
+    rank 0 for the run id: when a NON-recording rank wins the mkdir the
+    run dir has no ckpt.msgpack and a later resume=True exp_id=N
+    silently restarts from scratch (found live by
+    test_distributed_2proc.py::test_two_process_resume under load)."""
+    import jax
+
+    cfg = make_cfg()
+    cfg.g.model_dir = str(tmp_path)
+    ex = Experiment("t", cfg)
+
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    _, run = ex.assemble("train", {"split": "0", "tag": "t"})
+    assert run._id is None                      # rank 1: unobserved
+    assert not (tmp_path / "t").exists()        # ... and no dir allocated
+
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    _, run = ex.assemble("train", {"split": "0", "tag": "t"})
+    assert run._id == 1                         # rank 0 records as usual
+    assert (tmp_path / "t" / "1").is_dir()

@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Per-family TRAIN-step throughput + MFU on the real chip.
+
+The r2/r3 zoo tables (tools/bench_zoo.py, STATUS.md) are eval-only and
+bench_train.py covers only the flagship PEMP-s1 — every other family's
+training cost (the reference's expensive loop, SURVEY §3.1) had never
+been measured. Each row here builds the REAL entry runtime at the
+reference preset (scripts/*.sh resolution/batch/loss — e.g. reference
+scripts/canet.sh 321², panet.sh bs=1, rpmms.sh 481², pfenet.sh 473²)
+and times the production train step from parallel/step.make_train_step:
+forward + loss (incl. aux terms: PANet align, RPMMs 3-part, PFENet
+per-scale) + backward + clip + SGD/masked-frozen update + BN stats.
+
+Scope note: the step is the DEVICE program only — CaNet's host-side
+history write-back (post_step) and the input pipeline are excluded, as
+in bench_train.py; eval-side throughput lives in tools/bench_zoo.py.
+
+MFU = XLA cost-analysis FLOPs of the compiled step / (best step time x
+chip peak bf16 FLOP/s). Timing discipline per CLAUDE.md: device-resident
+batches, several launches per round, a VALUE fetch closes each window,
+best-of-rounds (pemp_tpu/utils/benchtime.py).
+
+Usage: python tools/bench_train_zoo.py [row ...]   (default: all rows)
+Prints one JSON line per row.
+"""
+
+import importlib
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parents[1]))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pemp_tpu.utils.benchtime import best_of_rounds  # noqa: E402
+
+LAUNCHES = 10
+BUDGET_S = 150
+EXTEND_S = 240
+
+# peak bf16 FLOP/s per chip by device kind (public spec sheets)
+PEAK_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5e": 197e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5p": 459e12,
+    "TPU v6e": 918e12,
+    "TPU v6 lite": 918e12,
+}
+
+RUNTIMES = {
+    "baseline": "BaselineRuntime",
+    "pemp_stage1": "Stage1Runtime",
+    "pemp_stage2": "Stage2Runtime",
+    "panet": "PANetRuntime",
+    "canet": "CaNetRuntime",
+    "rpmms": "RPMMsRuntime",
+    "pfenet": "PFENetRuntime",
+}
+
+# (hw, bs, extra overrides) per family — the scripts/*.sh presets
+ROWS = {
+    "baseline": (401, 4, {}),
+    "pemp_stage1": (401, 4, {"loss": "cedt", "net.backbone": "resnet50"}),
+    "pemp_stage2": (401, 4, {"loss": "cedt", "net.backbone": "resnet50",
+                             "net.backbone2": "resnet50", "net.cm": "True",
+                             "s1.id": "1"}),
+    "panet": (401, 1, {}),
+    "canet": (321, 4, {}),
+    "rpmms": (481, 4, {}),
+    "pfenet": (473, 4, {}),
+}
+
+
+def assemble_runtime(name, hw, bs, extra, model_dir, on_tpu):
+    mod = importlib.import_module(f"entry.{name}")
+    overrides = {
+        "split": "0", "data.dataset": "SYNTH",
+        "data.height": str(hw), "data.width": str(hw),
+        "data.bs": str(bs), "data.train_n": str(2 * bs),
+        "data.test_n": str(bs), "g.model_dir": model_dir,
+        **extra,
+    }
+    if not on_tpu:
+        overrides["tpu.precision"] = "f32"
+    cfg, run = mod.ex.assemble("train", overrides, observed=False)
+    return getattr(mod, RUNTIMES[name])(cfg, run)
+
+
+def seed_stage1_snapshot(model_dir, hw, bs, on_tpu):
+    """Stage 2 loads a frozen stage-1 snapshot from disk
+    (entry/pemp_stage2.py _load_stage1); seed a freshly-initialized one
+    under <model_dir>/pemp_stage1/1/ so the cascade row measures the
+    production path without a full stage-1 training run first."""
+    from pemp_tpu.core import checkpoint as ckpt_lib
+
+    rt = assemble_runtime(
+        "pemp_stage1", hw, bs,
+        {"loss": "cedt", "net.backbone": "resnet50"}, model_dir, on_tpu)
+    variables = rt.init_variables()
+    ckpt_lib.save(Path(model_dir) / "pemp_stage1" / "1" / "bestckpt.msgpack",
+                  variables)
+
+
+def bench_row(name, on_tpu, model_dir):
+    from pemp_tpu.core import solver as solver_lib
+    from pemp_tpu.core.trainer import TrainState
+    from pemp_tpu.data import datasets
+    from pemp_tpu.parallel.step import device_batch, make_train_step
+
+    hw, bs, extra = ROWS[name]
+    if not on_tpu:
+        hw, bs = (41 if name == "pfenet" else 33), (1 if bs == 1 else 2)
+    if name == "pemp_stage2":
+        seed_stage1_snapshot(model_dir, hw, bs, on_tpu)
+    runtime = assemble_runtime(name, hw, bs, extra, model_dir, on_tpu)
+    cfg = runtime.cfg
+
+    train_ds, train_loader, _ = datasets.load(cfg, "train")
+    train_ds, train_loader = runtime.wrap_data(train_ds, train_loader, True)
+    if hasattr(train_ds, "sample_tasks"):   # trainer does this per epoch
+        train_ds.sample_tasks()
+    host_batch = next(iter(train_loader))
+
+    variables = runtime.init_variables()
+    tx, opt_state, lr_policy, _ = solver_lib.get(
+        cfg.tr, variables["params"], runtime.frozen_patterns, max_steps=1000)
+    state = TrainState(variables["params"], variables["batch_stats"],
+                       opt_state)
+    step = make_train_step(runtime.make_loss_fn(), tx, runtime.mesh,
+                           compact_wire=cfg.tpu.compact_wire)
+
+    # device-resident batch: the step's own device_batch passes
+    # jax.Array values through, so H2D stays out of the timed window
+    batch = device_batch(host_batch, step.sharding, cfg.tpu.compact_wire)
+    lr = jnp.float32(lr_policy.lr)
+    key = jax.random.PRNGKey(1)
+
+    lowered = step.jit_step.lower(state, batch, lr, key)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):
+        cost = cost[0]
+    flops = float(cost.get("flops", 0.0)) if cost else 0.0
+
+    state, loss, _ = step(state, batch, lr, key)
+    float(loss)     # value fetch (block_until_ready can return early
+    #                 through the tunneled backend; CLAUDE.md)
+
+    holder = {"state": state}
+
+    def timed_round():
+        tic = time.perf_counter()
+        st = holder["state"]
+        for i in range(LAUNCHES):
+            st, loss, _ = step(st, batch, lr, jax.random.fold_in(key, i))
+        holder["state"] = st
+        float(loss)
+        dt = time.perf_counter() - tic
+        return LAUNCHES * bs / dt, dt / LAUNCHES
+
+    eps = best_of_rounds(timed_round, on_tpu, budget_s=BUDGET_S,
+                         extend_s=EXTEND_S, off_tpu_budget_s=10)
+
+    kind = jax.devices()[0].device_kind
+    peak = next((v for k, v in PEAK_BF16.items() if k in kind), None)
+    mfu = (flops * eps / bs) / peak if (peak and eps) else None
+    return {
+        "metric": f"{name} train step eps/s/chip "
+                  f"({hw}x{hw}, bs={bs}, preset)",
+        "value": round(eps, 1), "unit": "episodes/s",
+        "step_gflops": round(flops / 1e9, 1),
+        "mfu": round(mfu, 4) if mfu is not None else None,
+    }
+
+
+def main():
+    rows = sys.argv[1:] or list(ROWS)
+    unknown = [r for r in rows if r not in ROWS]
+    if unknown:
+        sys.exit(f"unknown row(s) {unknown}; valid: {sorted(ROWS)}")
+    on_tpu = jax.devices()[0].platform == "tpu"
+    with tempfile.TemporaryDirectory() as model_dir:
+        for r in rows:
+            print(json.dumps(bench_row(r, on_tpu, model_dir)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

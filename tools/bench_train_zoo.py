@@ -109,7 +109,11 @@ def seed_stage1_snapshot(model_dir, hw, bs, on_tpu):
                   variables)
 
 
-def bench_row(name, on_tpu, model_dir):
+def make_family_setup(name, on_tpu, model_dir):
+    """Build the production train step for one family at its preset
+    (shared by bench_row and tools/profile_train.py --family): returns
+    (step, state, batch, lr, key, bs, hw) with a device-resident batch.
+    """
     from pemp_tpu.core import solver as solver_lib
     from pemp_tpu.core.trainer import TrainState
     from pemp_tpu.data import datasets
@@ -140,8 +144,13 @@ def bench_row(name, on_tpu, model_dir):
     # device-resident batch: the step's own device_batch passes
     # jax.Array values through, so H2D stays out of the timed window
     batch = device_batch(host_batch, step.sharding, cfg.tpu.compact_wire)
-    lr = jnp.float32(lr_policy.lr)
-    key = jax.random.PRNGKey(1)
+    return (step, state, batch, jnp.float32(lr_policy.lr),
+            jax.random.PRNGKey(1), bs, hw)
+
+
+def bench_row(name, on_tpu, model_dir):
+    step, state, batch, lr, key, bs, hw = make_family_setup(
+        name, on_tpu, model_dir)
 
     lowered = step.jit_step.lower(state, batch, lr, key)
     cost = lowered.compile().cost_analysis()

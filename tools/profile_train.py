@@ -11,6 +11,8 @@ the chip's actual compute from the tunnel's dispatch floor (the r2
 
 Usage:
   python tools/profile_train.py --bs 4 --steps 6 [--hw 401] [--loss cedt]
+  python tools/profile_train.py --family rpmms   # any zoo family at its
+                                                 # reference preset
 Prints one JSON summary line (plus a readable top-op table on stderr).
 """
 
@@ -25,6 +27,7 @@ from collections import defaultdict
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parents[1]))
+sys.path.insert(0, str(Path(__file__).parent))   # bench_train_zoo import
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
@@ -93,10 +96,28 @@ def main():
     ap.add_argument("--loss", default="cedt")
     ap.add_argument("--steps", type=int, default=6)
     ap.add_argument("--pallas", action="store_true")
+    ap.add_argument("--family", default="",
+                    help="profile a zoo family's production train step at "
+                         "its reference preset (tools/bench_train_zoo.py "
+                         "rows) instead of the flagship bench_train step")
     ap.add_argument("--outdir", default="")
     args = ap.parse_args()
 
-    step, params, batch_stats, opt_state, batch, bs, hw = build(args)
+    if args.family:
+        from bench_train_zoo import make_family_setup
+        on_tpu = jax.devices()[0].platform == "tpu"
+        with tempfile.TemporaryDirectory() as mdir:
+            fstep, state, batch, lr, key, bs, hw = make_family_setup(
+                args.family, on_tpu, mdir)
+
+        def step(state, _bs, _opt, batch, rng):
+            new_state, loss, _aux = fstep(state, batch, lr, rng)
+            return new_state, None, None, loss
+
+        params, batch_stats, opt_state = state, None, None
+        args.loss = "preset"
+    else:
+        step, params, batch_stats, opt_state, batch, bs, hw = build(args)
     key = jax.random.PRNGKey(1)
     for i in range(3):                                   # warmup/compile
         params, batch_stats, opt_state, loss = step(
@@ -115,7 +136,10 @@ def main():
 
     xplanes = sorted(glob.glob(f"{outdir}/**/*.xplane.pb", recursive=True))
     ops, step_ns, n_steps = device_plane_ops(
-        xplanes[-1], fallback_steps=args.steps)
+        xplanes[-1], fallback_steps=args.steps,
+        # make_train_step's inner jit is named _step -> "jit__step";
+        # bench_train's is named step -> "jit_step"
+        module_prefix="jit__step" if args.family else "jit_step")
     top = sorted(ops.items(), key=lambda kv: -kv[1])[:20]
 
     grouped = defaultdict(float)
@@ -133,6 +157,7 @@ def main():
         print(f"  {ns / 1e6 / n_steps:8.3f} ms/step  {name[:90]}",
               file=sys.stderr)
     print(json.dumps({
+        "family": args.family or "pemp_stage1(bench_train)",
         "bs": bs, "hw": hw, "loss": args.loss,
         "pallas": bool(args.pallas),
         "steps_traced": args.steps,

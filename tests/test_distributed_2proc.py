@@ -46,16 +46,20 @@ def _env(extra):
     return env
 
 
-def test_two_process_world_matches_single_process(tmp_path):
+def _run_world(tmp_path, nprocs, devs_per_proc=2):
+    """Spawn an nprocs-world of distributed_worker.py + the 1-process
+    reference; returns (rank results list, single-process result)."""
     port = _free_port()
-    outs = [tmp_path / f"rank{i}.json" for i in range(2)]
+    outs = [tmp_path / f"rank{i}.json" for i in range(nprocs)]
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(outs[i])],
             env=_env({"COORDINATOR_ADDRESS": f"localhost:{port}",
-                      "NUM_PROCESSES": "2", "PROCESS_ID": str(i)}),
+                      "NUM_PROCESSES": str(nprocs), "PROCESS_ID": str(i),
+                      "XLA_FLAGS": "--xla_force_host_platform_device_"
+                                   f"count={devs_per_proc}"}),
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for i in range(2)
+        for i in range(nprocs)
     ]
     try:
         logs = [p.communicate(timeout=TIMEOUT_S)[0] for p in procs]
@@ -74,30 +78,33 @@ def test_two_process_world_matches_single_process(tmp_path):
         [sys.executable, str(WORKER), str(single_out)], env=_env({}),
         capture_output=True, text=True, timeout=TIMEOUT_S)
     assert single.returncode == 0, single.stdout + single.stderr
+    return [json.load(open(o)) for o in outs], json.load(open(single_out))
 
-    r0, r1 = (json.load(open(o)) for o in outs)
-    ref = json.load(open(single_out))
 
+def _check_world(ranks, ref, nprocs, devs_per_proc=2):
     # the world actually existed
-    for r in (r0, r1):
+    for r in ranks:
         assert r["distributed"] is True
-        assert r["world"] == 2
-        assert r["n_global_devices"] == 4
-        assert r["n_local_devices"] == 2
-    assert {r0["rank"], r1["rank"]} == {0, 1}
+        assert r["world"] == nprocs
+        assert r["n_global_devices"] == nprocs * devs_per_proc
+        assert r["n_local_devices"] == devs_per_proc
+    assert {r["rank"] for r in ranks} == set(range(nprocs))
     assert ref["distributed"] is False and ref["world"] == 1
 
-    # live-topology rank sharding of the episode list
-    ranges = sorted([tuple(r0["episode_range"]), tuple(r1["episode_range"])])
-    assert ranges == [(0, 4), (4, 8)]
+    # live-topology rank sharding of the episode list (8 episodes)
+    per = 8 // nprocs
+    ranges = sorted(tuple(r["episode_range"]) for r in ranks)
+    assert ranges == [(i * per, (i + 1) * per) for i in range(nprocs)]
 
-    # both ranks computed the SAME replicated state (bit-identical: same
+    # every rank computed the SAME replicated state (bit-identical: same
     # program, same global data)
-    np.testing.assert_array_equal(r0["losses"], r1["losses"])
-    for a, b in zip(r0["params"], r1["params"]):
-        np.testing.assert_array_equal(a, b)
+    r0 = ranks[0]
+    for r in ranks[1:]:
+        np.testing.assert_array_equal(r0["losses"], r["losses"])
+        for a, b in zip(r0["params"], r["params"]):
+            np.testing.assert_array_equal(a, b)
 
-    # and the 2-process world reproduces the single-process run (GSPMD
+    # and the world reproduces the single-process run (GSPMD
     # cross-process all-reduce vs local reduction: f32 reassociation only)
     np.testing.assert_allclose(r0["losses"], ref["losses"],
                                rtol=1e-6, atol=1e-7)
@@ -107,13 +114,28 @@ def test_two_process_world_matches_single_process(tmp_path):
     # phase 2 — PROCESS-LOCAL batches (each rank fed only its strided
     # slice, global batch assembled by device_batch(process_local=True)):
     # ranks agree bit-for-bit and reproduce the full-batch single run
-    np.testing.assert_array_equal(r0["losses_local"], r1["losses_local"])
-    for a, b in zip(r0["params_local"], r1["params_local"]):
-        np.testing.assert_array_equal(a, b)
+    for r in ranks[1:]:
+        np.testing.assert_array_equal(r0["losses_local"], r["losses_local"])
+        for a, b in zip(r0["params_local"], r["params_local"]):
+            np.testing.assert_array_equal(a, b)
     np.testing.assert_allclose(r0["losses_local"], ref["losses_local"],
                                rtol=1e-6, atol=1e-7)
     for a, b in zip(r0["params_local"], ref["params_local"]):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_two_process_world_matches_single_process(tmp_path):
+    ranks, ref = _run_world(tmp_path, 2)
+    _check_world(ranks, ref, 2)
+
+
+def test_four_process_world_matches_single_process(tmp_path):
+    """World size BEYOND 2: four processes x 2 devices = an 8-device
+    global mesh with 4-way strided loader sharding — the collective
+    topology, episode striding, and process-local batch assembly all
+    generalize past the pairwise case."""
+    ranks, ref = _run_world(tmp_path, 4)
+    _check_world(ranks, ref, 4)
 
 
 def _spawn_entry_world(tmp_path, name, bs, *extra_args):

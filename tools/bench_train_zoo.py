@@ -65,17 +65,23 @@ RUNTIMES = {
     "pfenet": "PFENetRuntime",
 }
 
-# (hw, bs, extra overrides) per family — the scripts/*.sh presets
+# row -> (entry family, hw, bs, extra overrides); hw/bs are the
+# scripts/*.sh presets except the explicitly-labeled tuned rows
 ROWS = {
-    "baseline": (401, 4, {}),
-    "pemp_stage1": (401, 4, {"loss": "cedt", "net.backbone": "resnet50"}),
-    "pemp_stage2": (401, 4, {"loss": "cedt", "net.backbone": "resnet50",
-                             "net.backbone2": "resnet50", "net.cm": "True",
-                             "s1.id": "1"}),
-    "panet": (401, 1, {}),
-    "canet": (321, 4, {}),
-    "rpmms": (481, 4, {}),
-    "pfenet": (473, 4, {}),
+    "baseline": ("baseline", 401, 4, {}),
+    "pemp_stage1": ("pemp_stage1", 401, 4,
+                    {"loss": "cedt", "net.backbone": "resnet50"}),
+    "pemp_stage2": ("pemp_stage2", 401, 4,
+                    {"loss": "cedt", "net.backbone": "resnet50",
+                     "net.backbone2": "resnet50", "net.cm": "True",
+                     "s1.id": "1"}),
+    "panet": ("panet", 401, 1, {}),
+    # the reference preset bs=1 is latency-bound on TPU (~20 ms step
+    # floor); this row is the recommended data-parallel operating point
+    "panet8": ("panet", 401, 8, {}),
+    "canet": ("canet", 321, 4, {}),
+    "rpmms": ("rpmms", 481, 4, {}),
+    "pfenet": ("pfenet", 473, 4, {}),
 }
 
 
@@ -119,12 +125,12 @@ def make_family_setup(name, on_tpu, model_dir):
     from pemp_tpu.data import datasets
     from pemp_tpu.parallel.step import device_batch, make_train_step
 
-    hw, bs, extra = ROWS[name]
+    family, hw, bs, extra = ROWS[name]
     if not on_tpu:
-        hw, bs = (41 if name == "pfenet" else 33), (1 if bs == 1 else 2)
-    if name == "pemp_stage2":
+        hw, bs = (41 if family == "pfenet" else 33), (1 if bs == 1 else 2)
+    if family == "pemp_stage2":
         seed_stage1_snapshot(model_dir, hw, bs, on_tpu)
-    runtime = assemble_runtime(name, hw, bs, extra, model_dir, on_tpu)
+    runtime = assemble_runtime(family, hw, bs, extra, model_dir, on_tpu)
     cfg = runtime.cfg
 
     train_ds, train_loader, _ = datasets.load(cfg, "train")
@@ -180,9 +186,10 @@ def bench_row(name, on_tpu, model_dir):
     kind = jax.devices()[0].device_kind
     peak = next((v for k, v in PEAK_BF16.items() if k in kind), None)
     mfu = (flops * eps / bs) / peak if (peak and eps) else None
+    label = "preset" if name == ROWS[name][0] else "tuned"
     return {
         "metric": f"{name} train step eps/s/chip "
-                  f"({hw}x{hw}, bs={bs}, preset)",
+                  f"({hw}x{hw}, bs={bs}, {label})",
         "value": round(eps, 1), "unit": "episodes/s",
         "step_gflops": round(flops / 1e9, 1),
         "mfu": round(mfu, 4) if mfu is not None else None,

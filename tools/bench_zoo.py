@@ -182,6 +182,85 @@ def row_model(name, hw_tpu, batch_tpu, on_tpu, dtype):
             "value": round(eps, 1), "unit": "episodes/s"}
 
 
+def row_latency(on_tpu, dtype):
+    """Single-episode (B=1) serving latency of the deployed paths:
+    stage-1 alone and the stage-1 -> stage-2 cascade, one jitted program,
+    device-resident inputs. Reports best wall ms/launch (tunnel RTT
+    included — a real TPU VM pays PCIe instead) AND the device execution
+    time parsed from a jax.profiler trace (the chip-side latency a
+    serving deployment schedules against)."""
+    import tempfile
+
+    from pemp_tpu.core.metrics import tp_fp_fn
+    from pemp_tpu.models.pemp_stage1 import PEMPStage1
+    from pemp_tpu.models.pemp_stage2 import PEMPStage2
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from profile_train import device_plane_ops
+
+    hw = 401 if on_tpu else 33
+    s1 = PEMPStage1(backbone="resnet50", dtype=dtype, use_pallas=on_tpu)
+    s2 = PEMPStage2(backbone="resnet50", spq=2, dtype=dtype,
+                    use_pallas=on_tpu)
+    rng = np.random.RandomState(0)
+    sup, msk, qry = episode_arrays(rng, 1, 1, 1, hw)
+    ref = jnp.asarray(rng.randint(0, 2, (1, hw, hw)).astype(np.int32))
+
+    v1 = jax.jit(lambda a, m, q: s1.init(
+        {"params": jax.random.PRNGKey(0)}, a, m, q, out_hw=None))(
+        sup, msk, qry)
+    v2 = jax.jit(lambda a, m, q, p: s2.init(
+        {"params": jax.random.PRNGKey(1)}, a, m, q, p, out_hw=None))(
+        sup, msk, qry, jnp.zeros((1, 1, hw, hw)))
+
+    @jax.jit
+    def step_s1(v, sup, msk, qry, ref):
+        lg = s1.apply(v, sup, msk, qry, out_hw=(hw, hw), train=False)
+        pred = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        return jax.vmap(tp_fp_fn)(pred.reshape(-1, hw, hw), ref).sum(0)
+
+    @jax.jit
+    def step_cascade(v1, v2, sup, msk, qry, ref):
+        lg1 = s1.apply(v1, sup, msk, qry, out_hw=(hw, hw), train=False)
+        prior = jnp.argmax(lg1, axis=-1).astype(jnp.float32)
+        lg2 = s2.apply(v2, sup, msk, qry, prior, out_hw=(hw, hw),
+                       train=False)
+        pred = jnp.argmax(lg2, axis=-1).astype(jnp.int32)
+        return jax.vmap(tp_fp_fn)(pred.reshape(-1, hw, hw), ref).sum(0)
+
+    rows = []
+    for name, fn in (("pemp_stage1", lambda: step_s1(v1, sup, msk, qry,
+                                                     ref)),
+                     ("cascade s1+s2", lambda: step_cascade(
+                         v1, v2, sup, msk, qry, ref))):
+        for _ in range(3):
+            np.asarray(fn())                      # warmup + compile
+        n, best_wall = 30, float("inf")
+        deadline = time.time() + (60 if on_tpu else 5)
+        while time.time() < deadline:
+            tic = time.perf_counter()
+            for _ in range(n):
+                out = fn()
+            np.asarray(out)                       # value fetch
+            best_wall = min(best_wall,
+                            (time.perf_counter() - tic) / n * 1e3)
+        outdir = tempfile.mkdtemp(prefix="pemp_lat_")
+        with jax.profiler.trace(outdir):
+            for _ in range(n):
+                out = fn()
+            np.asarray(out)
+        import glob as _glob
+        xp = sorted(_glob.glob(f"{outdir}/**/*.xplane.pb",
+                               recursive=True))[-1]
+        _ops, step_ns, n_steps = device_plane_ops(
+            xp, module_prefix="jit_step", fallback_steps=n)
+        rows.append({
+            "metric": f"{name} 1-shot B=1 serving latency ({hw}x{hw})",
+            "value": round(best_wall, 2), "unit": "ms wall/episode",
+            "device_ms": round(step_ns / 1e6 / n_steps, 2)})
+    return rows
+
+
 ROWS = {
     "cascade1": lambda on, dt: row_cascade(1, on, dt),
     "cascade5": lambda on, dt: row_cascade(5, on, dt),
@@ -189,6 +268,7 @@ ROWS = {
     "canet321": lambda on, dt: row_model("canet", 321, 32, on, dt),
     "rpmms481": lambda on, dt: row_model("rpmms", 481, 16, on, dt),
     "pfenet473": lambda on, dt: row_model("pfenet", 473, 8, on, dt),
+    "latency1": row_latency,
 }
 
 
@@ -200,7 +280,9 @@ def main():
     on_tpu = jax.devices()[0].platform == "tpu"
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     for r in rows:
-        print(json.dumps(ROWS[r](on_tpu, dtype)), flush=True)
+        out = ROWS[r](on_tpu, dtype)
+        for line in (out if isinstance(out, list) else [out]):
+            print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

@@ -116,6 +116,7 @@ def main():
 
         params, batch_stats, opt_state = state, None, None
         args.loss = "preset"
+        args.pallas = on_tpu   # family steps follow cfg.tpu.use_pallas
     else:
         step, params, batch_stats, opt_state, batch, bs, hw = build(args)
     key = jax.random.PRNGKey(1)

@@ -37,7 +37,6 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from pemp_tpu.utils.benchtime import best_of_rounds  # noqa: E402
 

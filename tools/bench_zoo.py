@@ -235,29 +235,41 @@ def row_latency(on_tpu, dtype):
                          v1, v2, sup, msk, qry, ref))):
         for _ in range(3):
             np.asarray(fn())                      # warmup + compile
-        n, best_wall = 30, float("inf")
-        deadline = time.time() + (60 if on_tpu else 5)
-        while time.time() < deadline:
+        n = 30
+
+        def timed_round():
             tic = time.perf_counter()
             for _ in range(n):
                 out = fn()
             np.asarray(out)                       # value fetch
-            best_wall = min(best_wall,
-                            (time.perf_counter() - tic) / n * 1e3)
-        outdir = tempfile.mkdtemp(prefix="pemp_lat_")
-        with jax.profiler.trace(outdir):
-            for _ in range(n):
-                out = fn()
-            np.asarray(out)
-        import glob as _glob
-        xp = sorted(_glob.glob(f"{outdir}/**/*.xplane.pb",
-                               recursive=True))[-1]
-        _ops, step_ns, n_steps = device_plane_ops(
-            xp, module_prefix="jit_step", fallback_steps=n)
+            per_launch = (time.perf_counter() - tic) / n
+            return 1.0 / per_launch, per_launch   # launches/s for "best"
+
+        # shared slow-tunnel heuristic (benchtime): best launches/s
+        # inverts back to the best (lowest) wall latency
+        best_rate = best_of_rounds(timed_round, on_tpu, budget_s=60,
+                                   extend_s=EXTEND_S, off_tpu_budget_s=5)
+        best_wall = 1e3 / best_rate
+
+        device_ms = None
+        if on_tpu:
+            # off-chip the CPU-fallback plane sums overlapping client
+            # events (device_ms would exceed wall) — TPU-trace only
+            outdir = tempfile.mkdtemp(prefix="pemp_lat_")
+            with jax.profiler.trace(outdir):
+                for _ in range(n):
+                    out = fn()
+                np.asarray(out)
+            import glob as _glob
+            xp = sorted(_glob.glob(f"{outdir}/**/*.xplane.pb",
+                                   recursive=True))[-1]
+            _ops, step_ns, n_steps = device_plane_ops(
+                xp, module_prefix="jit_step", fallback_steps=n)
+            device_ms = round(step_ns / 1e6 / n_steps, 2)
         rows.append({
             "metric": f"{name} 1-shot B=1 serving latency ({hw}x{hw})",
             "value": round(best_wall, 2), "unit": "ms wall/episode",
-            "device_ms": round(step_ns / 1e6 / n_steps, 2)})
+            "device_ms": device_ms})
     return rows
 
 

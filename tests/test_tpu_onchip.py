@@ -259,3 +259,37 @@ def test_onchip_packed_chain_bf16_wire():
     l32 = mpm_chain_packed_pallas(fts16.astype(jnp.float32), fg, bg,
                                   ctr, p, 20.0)
     np.testing.assert_array_equal(np.asarray(l16), np.asarray(l32))
+
+
+def test_onchip_serving_artifact_executes_and_matches():
+    """The StableHLO serving artifact (tools/export_serving.py) compiled
+    and EXECUTED on the real chip: deserialize(serialize(export(serve)))
+    must produce the live jitted forward's logits bit-for-bit on TPU —
+    the CPU round-trip test (test_export_serving.py) never proves the
+    artifact actually lowers through the TPU backend."""
+    from jax import export
+
+    from tools.convert_reference_ckpt import build_init_trees
+    from tools.export_serving import build_serving_fn
+
+    model, params, stats = build_init_trees("pemp_stage1", "resnet50",
+                                            shot=1)
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    b, hw = 1, 33
+    serve, specs = build_serving_fn("pemp_stage1", model, variables,
+                                    b, 1, 1, hw)
+    restored = export.deserialize(export.export(serve)(*specs).serialize())
+
+    rng = np.random.RandomState(0)
+    fg = (rng.rand(b, 1, hw, hw, 1) > 0.5).astype(np.float32)
+    inputs = [
+        jnp.asarray(rng.randn(b, 1, hw, hw, 3).astype(np.float32)),
+        jnp.asarray(np.concatenate([fg, 1 - fg], -1)),
+        jnp.asarray(rng.randn(b, 1, hw, hw, 3).astype(np.float32)),
+    ]
+    want = np.asarray(serve(*inputs))
+    got = np.asarray(restored.call(*inputs))
+    assert want.shape == (b, 1, hw, hw, 2)
+    np.testing.assert_array_equal(got, want)

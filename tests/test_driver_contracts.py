@@ -1,0 +1,44 @@
+"""The two driver contracts (CLAUDE.md): ``bench.py`` must print ONE
+JSON line and ``__graft_entry__`` must expose a jittable ``entry()``.
+
+The multichip half of the graft contract already runs live in
+tests/test_multichip.py (dryrun_multichip on the 8-device CPU mesh);
+bench.py had NO coverage — a regression there silently zeroes the
+round's recorded benchmark.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).parents[1]
+
+
+def test_bench_prints_one_json_line():
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env.update({"JAX_PLATFORMS": "cpu",
+                "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache"})
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py")], env=env,
+        capture_output=True, text=True, timeout=1200)
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE JSON line, got: {out.stdout!r}"
+    doc = json.loads(lines[0])
+    assert set(doc) >= {"metric", "value", "unit", "vs_baseline"}
+    assert doc["unit"] == "episodes/s"
+    assert doc["value"] > 0
+
+
+def test_graft_entry_is_jittable():
+    import jax
+
+    sys.path.insert(0, str(ROOT))
+    import __graft_entry__ as graft
+
+    fn, args = graft.entry()
+    out = jax.jit(fn)(*args)
+    assert out.ndim == 5 and out.shape[-1] == 2   # [B,Q,h,w,2] logits

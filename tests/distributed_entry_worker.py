@@ -10,12 +10,16 @@ Usage:
       [entry=baseline] [mode=train]
 
 Modes:
-  train   one train() incl. the auto-test chain (default)
-  resume  train 1 epoch, then a SECOND invocation with resume=True
-          exp_id=1 tr.total_epochs=2 — exercises the multi-host
-          checkpoint-bytes broadcast in ``Trainer.maybe_resume``
-  stage2  train pemp_stage1, then pemp_stage2 with s1.id=1 — exercises
-          the stage-1 snapshot broadcast (``load_snapshot_broadcast``)
+  train    one train() incl. the auto-test chain (default)
+  resume   train 1 epoch, then a SECOND invocation with resume=True
+           exp_id=1 tr.total_epochs=2 — exercises the multi-host
+           checkpoint-bytes broadcast in ``Trainer.maybe_resume``
+  stage2   train pemp_stage1, then pemp_stage2 with s1.id=1 — exercises
+           the stage-1 snapshot broadcast (``load_snapshot_broadcast``)
+  preempt  train with a long epoch budget while the PARENT SIGTERMs one
+           rank mid-run: the world-OR stop consensus must stop EVERY
+           rank at the same epoch boundary (train() returns
+           "PREEMPTED"); then a second invocation resumes to completion
 
 (single-process reference when COORDINATOR_ADDRESS is unset; pass the
 GLOBAL batch size then)
@@ -68,6 +72,19 @@ def main(out_path, model_dir, bs, entry_name="baseline", mode="train"):
         # multi-host, the ckpt BYTES broadcast from rank 0
         result = run_train(entry_name, {**overrides, "resume": "True",
                                         "exp_id": "1"})
+    elif mode == "preempt":
+        # long epoch budget; the parent signals one rank once rank 0's
+        # metrics stream shows progress. Every rank must agree to stop
+        # (world-OR on the epoch-boundary schedule) and exit through a
+        # resumable snapshot instead of wedging in the collectives.
+        result = run_train(entry_name, {**overrides,
+                                        "tr.total_epochs": "50"})
+        assert result == "PREEMPTED", f"expected PREEMPTED, got {result!r}"
+        # second invocation: resume the interrupted run to completion
+        # (short budget) and fall through to the normal metric parse
+        result = run_train(entry_name, {**overrides, "resume": "True",
+                                        "exp_id": "1",
+                                        "tr.total_epochs": "3"})
     elif mode == "stage2":
         run_train("pemp_stage1", {**overrides, "data.height": "33",
                                   "data.width": "33",

@@ -265,6 +265,60 @@ def test_two_process_resume(tmp_path):
     assert len(stream) == 2, f"expected 2 recorded epochs, got {stream}"
 
 
+def test_two_process_preemption_consensus(tmp_path):
+    """LIVE multi-host preemption: SIGTERM is delivered to ONLY rank 1
+    mid-training — the world-OR stop consensus (``any_process_flag`` on
+    the fixed epoch-boundary schedule) must stop BOTH ranks at the same
+    boundary with a resumable snapshot, instead of rank 0 wedging inside
+    its synchronous collectives; a second invocation then resumes the
+    interrupted run to completion on both ranks (the worker asserts
+    train() returned "PREEMPTED" before resuming)."""
+    port = _free_port()
+    worker = Path(__file__).parent / "distributed_entry_worker.py"
+    mdir = tmp_path / "preempt"
+    outs = [tmp_path / f"preempt_rank{i}.json" for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(worker), str(outs[i]), str(mdir), "2",
+             "baseline", "preempt"],
+            env=_env({"COORDINATOR_ADDRESS": f"localhost:{port}",
+                      "NUM_PROCESSES": "2", "PROCESS_ID": str(i)}),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    try:
+        # wait until rank 0 has recorded at least one epoch, then signal
+        # ONLY rank 1 (rank 0 must learn of the stop via the world-OR)
+        import time as _time
+        metrics = mdir / "baseline" / "1" / "metrics.json"
+        deadline = _time.time() + TIMEOUT_S / 2
+        while _time.time() < deadline:
+            if metrics.exists() and "train_loss" in metrics.read_text():
+                break
+            if any(p.poll() is not None for p in procs):
+                break   # a worker died early — surface its log below
+            _time.sleep(2)
+        else:
+            raise AssertionError("rank 0 never recorded an epoch")
+        procs[1].send_signal(15)                    # SIGTERM rank 1 only
+        logs = [p.communicate(timeout=TIMEOUT_S)[0] for p in procs]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, f"preempt worker failed:\n{log[-4000:]}"
+
+    r0, r1 = (json.load(open(o)) for o in outs)
+    assert r0["world"] == r1["world"] == 2
+    # both ranks agreed to stop, resumed, and finished identically
+    for k in ("loss", "miou", "biou"):
+        assert r0[k] == r1[k], f"{k}: {r0[k]} != {r1[k]}"
+    # rank 0's log shows the consensus stop before any resume
+    assert "Graceful stop inside epoch" in logs[0]
+
+
 def test_two_process_stage2_cascade(tmp_path):
     """The stage-1 -> stage-2 cascade in a live 2-process world: the
     frozen stage-1 snapshot lives only in rank 0's run dir, so

@@ -95,9 +95,14 @@ def main():
     # can hold for minutes and once recorded 3.3 eps/s for a build that
     # measures 750 in the fast mode) — shared heuristic, one copy.
     from pemp_tpu.utils.benchtime import best_of_rounds
+    # PEMP_BENCH_OFF_TPU_BUDGET_S: the CPU-fallback round budget — the
+    # suite's driver-contract test shrinks it so a full bench.py
+    # subprocess doesn't cost 30s of rounds on every pytest run. TPU
+    # timing is unaffected.
+    off_budget = float(os.environ.get("PEMP_BENCH_OFF_TPU_BUDGET_S", "30"))
     eps = best_of_rounds(timed_round, on_tpu, budget_s=BUDGET_S,
                          extend_s=EXTEND_S, slow_launch_s=SLOW_LAUNCH_S,
-                         max_rounds=ROUNDS)
+                         off_tpu_budget_s=off_budget, max_rounds=ROUNDS)
     print(json.dumps({
         "metric": "PEMP-s1 r50 1-shot eval episodes/sec/chip "
                   f"({hw}x{hw}, B={batch}, "

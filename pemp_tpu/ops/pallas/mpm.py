@@ -79,6 +79,39 @@ def _wire_dtype(x):
     return x.dtype if x.dtype in (jnp.bfloat16, jnp.float16) else jnp.float32
 
 
+def _col_padmask(protos: int, p_pad: int):
+    """-inf additive mask for the padded prototype columns of the
+    class-major [fg x p_pad, bg x p_pad] lane layout (THE layout contract
+    shared by every kernel here: real fg cols [0, protos), real bg cols
+    [p_pad, p_pad + protos), everything else padding)."""
+    padmask = np.zeros((1, 2 * p_pad), np.float32)
+    padmask[0, protos:p_pad] = NEG
+    padmask[0, p_pad + protos:] = NEG
+    return jnp.asarray(padmask)
+
+
+def _pad_ctr(ctr, protos: int, p_pad: int):
+    """Learned centers [c, 2*protos] -> class-major padded [c, 2*p_pad]
+    plus the matching column padmask."""
+    ctr_pad = jnp.zeros((ctr.shape[0], 2 * p_pad), jnp.float32)
+    ctr_pad = ctr_pad.at[:, :protos].set(ctr[:, :protos])
+    ctr_pad = ctr_pad.at[:, p_pad:p_pad + protos].set(ctr[:, protos:])
+    return ctr_pad, _col_padmask(protos, p_pad)
+
+
+def _pack_protos(fg_proto, bg_proto, protos: int, p_pad: int, q: int):
+    """(fg, bg) [B,p,c] -> class-major padded [B*q, 2*p_pad, c] for the
+    match kernel. Padded prototype rows are 0 (cosine denominator clamps
+    at eps) and are -inf-masked by the column padmask anyway."""
+    b, _, c = fg_proto.shape
+    pk = jnp.zeros((b, 2 * p_pad, c), jnp.float32)
+    pk = pk.at[:, :protos].set(fg_proto.astype(jnp.float32))
+    pk = pk.at[:, p_pad:p_pad + protos].set(bg_proto.astype(jnp.float32))
+    if q != 1:
+        pk = jnp.repeat(pk, q, axis=0)
+    return pk
+
+
 # ---------------------------------------------------------------------------
 # kernel 1: meta-prototype soft assignment (accumulating over pixel tiles)
 # ---------------------------------------------------------------------------
@@ -152,13 +185,7 @@ def meta_prototype_assign_pallas(sup_fts, sup_fg, sup_bg, ctr, protos: int,
     mask = mask.at[:, :n, 0].set(sup_fg.reshape(bs, n))
     mask = mask.at[:, :n, 1].set(sup_bg.reshape(bs, n))
 
-    ctr_pad = jnp.zeros((c, 2 * p_pad), jnp.float32)
-    ctr_pad = ctr_pad.at[:, :protos].set(ctr[:, :protos])
-    ctr_pad = ctr_pad.at[:, p_pad:p_pad + protos].set(ctr[:, protos:])
-    padmask = np.zeros((1, 2 * p_pad), np.float32)
-    padmask[0, protos:p_pad] = NEG
-    padmask[0, p_pad + protos:] = NEG
-    padmask = jnp.asarray(padmask)
+    ctr_pad, padmask = _pad_ctr(ctr, protos, p_pad)
 
     kernel = functools.partial(_assign_kernel, protos_pad=p_pad)
     num, den = pl.pallas_call(
@@ -249,17 +276,8 @@ def prototype_match_pallas(qry_fts, fg_proto, bg_proto,
     qdt = _wire_dtype(qry_fts)
     qf = jnp.zeros((bq, n_pad, c), qdt)
     qf = qf.at[:, :n].set(qry_fts.reshape(bq, n, c).astype(qdt))
-    # class-major packing: [fg x p_pad, bg x p_pad]; padded prototype rows
-    # are 0 (cosine denominator clamps at eps) and masked with -inf anyway.
-    pk = jnp.zeros((b, 2 * p_pad, c), jnp.float32)
-    pk = pk.at[:, :protos].set(fg_proto.astype(jnp.float32))
-    pk = pk.at[:, p_pad:p_pad + protos].set(bg_proto.astype(jnp.float32))
-    if q != 1:
-        pk = jnp.repeat(pk, q, axis=0)
-    padmask = np.zeros((1, 2 * p_pad), np.float32)
-    padmask[0, protos:p_pad] = NEG
-    padmask[0, p_pad + protos:] = NEG
-    padmask = jnp.asarray(padmask)
+    pk = _pack_protos(fg_proto, bg_proto, protos, p_pad, q)
+    padmask = _col_padmask(protos, p_pad)
 
     kernel = functools.partial(_match_kernel, protos_pad=p_pad,
                                dist_scalar=dist_scalar, cos_eps=cos_eps)
@@ -337,13 +355,7 @@ def mpm_chain_packed_pallas(fts, sup_fg, sup_bg, ctr, protos: int,
     mask = mask.at[:, :n, 0].set(sup_fg.reshape(b * s, n))
     mask = mask.at[:, :n, 1].set(sup_bg.reshape(b * s, n))
 
-    ctr_pad = jnp.zeros((c, 2 * p_pad), jnp.float32)
-    ctr_pad = ctr_pad.at[:, :protos].set(ctr[:, :protos])
-    ctr_pad = ctr_pad.at[:, p_pad:p_pad + protos].set(ctr[:, protos:])
-    padmask = np.zeros((1, 2 * p_pad), np.float32)
-    padmask[0, protos:p_pad] = NEG
-    padmask[0, p_pad + protos:] = NEG
-    padmask = jnp.asarray(padmask)
+    ctr_pad, padmask = _pad_ctr(ctr, protos, p_pad)
 
     kernel = functools.partial(_assign_kernel, protos_pad=p_pad)
     num, den = pl.pallas_call(
@@ -379,11 +391,7 @@ def mpm_chain_packed_pallas(fts, sup_fg, sup_bg, ctr, protos: int,
     fg_proto = proto[:, :protos]
     bg_proto = proto[:, p_pad:p_pad + protos]
 
-    pk = jnp.zeros((b, 2 * p_pad, c), jnp.float32)
-    pk = pk.at[:, :protos].set(fg_proto)
-    pk = pk.at[:, p_pad:p_pad + protos].set(bg_proto)
-    if q != 1:
-        pk = jnp.repeat(pk, q, axis=0)
+    pk = _pack_protos(fg_proto, bg_proto, protos, p_pad, q)
 
     mkernel = functools.partial(_match_kernel, protos_pad=p_pad,
                                 dist_scalar=dist_scalar, cos_eps=cos_eps)

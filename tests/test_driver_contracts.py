@@ -20,7 +20,11 @@ def test_bench_prints_one_json_line():
     env = {k: v for k, v in os.environ.items()
            if k != "PALLAS_AXON_POOL_IPS"}
     env.update({"JAX_PLATFORMS": "cpu",
-                "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache"})
+                "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+                # the contract is the OUTPUT FORMAT; one short round
+                # suffices — don't pay the full 30s off-TPU budget on
+                # every suite run
+                "PEMP_BENCH_OFF_TPU_BUDGET_S": "1"})
     out = subprocess.run(
         [sys.executable, str(ROOT / "bench.py")], env=env,
         capture_output=True, text=True, timeout=1200)

@@ -101,7 +101,11 @@ def eval_mem(name, hw, b, dtype, use_pallas):
                              variables)
 
     def step(v, sup, msk, qry, *e):
-        out = model.apply(v, sup, msk, qry, *e, out_hw=None,
+        # out_hw=(hw, hw) matches the deployed eval protocol (bench.py
+        # resizes logits to input resolution before argmax) — compiling
+        # out_hw=None would omit the full-res logits/resize temps and
+        # overstate the projected max batch
+        out = model.apply(v, sup, msk, qry, *e, out_hw=(hw, hw),
                           train=False, rngs=rngs)
         if isinstance(out, (tuple, list)):
             out = out[-1] if name == "rpmms" else out[0]

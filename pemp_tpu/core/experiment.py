@@ -278,7 +278,7 @@ class EntryRuntime:
                 rh[i, :hh] = mats[(hh, h)]
                 rw[i, :ww] = mats[(ww, w)]
                 lab[i, :, :hh, :ww] = q
-            put = (lambda a: jax.device_put(a, shard)) \
+            put = (lambda a: mesh_lib.put_global(a, shard)) \
                 if shard is not None else jnp.asarray
             return jit_full(self._variables, wire,
                             put(rh), put(rw), put(lab))

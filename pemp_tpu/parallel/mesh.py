@@ -107,6 +107,7 @@ def initialize_distributed() -> bool:
     initialized), False for a plain single-process run."""
     import os
     if jax.distributed.is_initialized():
+        _warm_collective_context()
         return True   # already initialized by the launcher
     env = _launch_env()
     if env is None:
@@ -118,7 +119,32 @@ def initialize_distributed() -> bool:
             process_id=int(os.environ["PROCESS_ID"]))
     else:
         jax.distributed.initialize()   # auto-detect (TPU pod / Slurm)
+    _warm_collective_context()
     return True
+
+
+_collectives_warmed = False
+
+
+def _warm_collective_context() -> None:
+    """Build the backend's cross-host collective context NOW, while every
+    rank is aligned from the coordinator rendezvous.
+
+    The context is otherwise built lazily by the first real collective —
+    which may come after minutes of per-rank compile/load skew, and on
+    the CPU backend the Gloo context rendezvous has a hard 30s
+    key-value-store timeout (no knob: ``make_gloo_tcp_collectives``
+    takes none). Observed live under host load: rank 1 still compiling
+    when rank 0 hit its first collective → "Gloo context initialization
+    failed: DEADLINE_EXCEEDED" → world dead. A trivial allgather here
+    pins context creation to the one moment ranks are guaranteed close
+    together; real TPU pods get an ICI warmup for free."""
+    global _collectives_warmed
+    if _collectives_warmed:
+        return
+    _collectives_warmed = True
+    from jax.experimental import multihost_utils
+    np.asarray(multihost_utils.process_allgather(np.int32(0)))
 
 
 def process_episode_range(n_episodes: int, rank=None, world=None):
@@ -159,6 +185,31 @@ def spans_processes(mesh: Mesh) -> bool:
     SHARDS of the global batch, not the global value itself."""
     me = jax.process_index()
     return any(d.process_index != me for d in mesh.devices.flat)
+
+
+def put_global(v, sharding: NamedSharding):
+    """``device_put`` onto a (possibly process-spanning) sharding WITHOUT
+    jax's cross-process value-equality check.
+
+    ``jax.device_put`` of a host array onto a sharding that spans every
+    process runs ``multihost_utils.assert_equal`` — a full Gloo/ICI
+    allgather of the value on EVERY call (jax dispatch.py
+    ``_device_put_sharding_impl``). That is O(bytes) cross-host traffic
+    per eval batch, and on the CPU backend its 30s key-value-store
+    timeout kills a rank whenever a peer is >30s behind (observed live:
+    "Gloo context initialization failed: DEADLINE_EXCEEDED" when rank 0
+    reached ``replicate_state`` while rank 1 was still compiling under
+    host load). The multi-host invariants here guarantee value equality
+    by construction — seeded loaders replay the same episode stream on
+    every host, and checkpoints/snapshots are byte-broadcast from rank 0
+    (core/checkpoint.py) — so build the global array directly from this
+    process's addressable shards instead."""
+    if not spans_processes(sharding.mesh):
+        return jax.device_put(v, sharding)
+    v = np.asarray(v)
+    v = v.astype(jax.dtypes.canonicalize_dtype(v.dtype), copy=False)
+    return jax.make_array_from_callback(v.shape, sharding,
+                                        lambda idx: v[idx])
 
 
 def fetch_global(x) -> np.ndarray:

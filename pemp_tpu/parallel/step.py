@@ -22,7 +22,8 @@ from jax.sharding import Mesh
 
 from pemp_tpu.core.solver import apply_updates
 from pemp_tpu.core.trainer import TrainState
-from pemp_tpu.parallel.mesh import batch_sharding, replicate, spans_processes
+from pemp_tpu.parallel.mesh import (batch_sharding, put_global, replicate,
+                                    spans_processes)
 
 ARRAY_KEYS = ("sup_rgb", "sup_mask", "qry_rgb", "qry_msk",
               "history", "qry_prior")   # 'cls' stays host-side (metrics)
@@ -101,7 +102,7 @@ def device_batch(batch: Dict, sharding=None, compact_wire: bool = True,
                 # the mesh instead of crashing device_put; the in-model
                 # pallas shard_map gating already handles the compute side
                 s = replicate(s.mesh)
-            out[k] = jax.device_put(v, s) \
+            out[k] = put_global(v, s) \
                 if s is not None else jnp.asarray(v)
         elif isinstance(v, jax.Array):
             out[k] = v
@@ -148,7 +149,7 @@ def make_train_step(loss_fn: Callable, tx,
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
     rep = replicate(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)
+    return jax.tree_util.tree_map(lambda x: put_global(x, rep), state)
 
 
 class DevicePrefetcher:

@@ -278,8 +278,14 @@ class EntryRuntime:
                 rh[i, :hh] = mats[(hh, h)]
                 rw[i, :ww] = mats[(ww, w)]
                 lab[i, :, :hh, :ww] = q
-            put = (lambda a: mesh_lib.put_global(a, shard)) \
-                if shard is not None else jnp.asarray
+            # mesh-indivisible batches (test_bs tails) replicate, exactly
+            # like device_batch just did for the wire arrays — a
+            # batch-sharded put of an indivisible leading axis raises
+            s = shard
+            if s is not None and b % s.mesh.size != 0:
+                s = mesh_lib.replicate(s.mesh)
+            put = (lambda a: mesh_lib.put_global(a, s)) \
+                if s is not None else jnp.asarray
             return jit_full(self._variables, wire,
                             put(rh), put(rw), put(lab))
         return step

@@ -203,11 +203,30 @@ def put_global(v, sharding: NamedSharding):
     by construction — seeded loaders replay the same episode stream on
     every host, and checkpoints/snapshots are byte-broadcast from rank 0
     (core/checkpoint.py) — so build the global array directly from this
-    process's addressable shards instead."""
+    process's addressable shards instead.
+
+    Debugging net: ``PEMP_VERIFY_GLOBAL_PUTS=1`` re-enables an explicit
+    cross-host equality check (an 8-byte digest allgather per put, not
+    jax's full-value one) — use it when chasing a suspected divergence,
+    e.g. CaNet's mutable history stream, whose cross-host equality rests
+    on python-global-``random`` lockstep rather than a seed."""
+    import os
     if not spans_processes(sharding.mesh):
         return jax.device_put(v, sharding)
     v = np.asarray(v)
     v = v.astype(jax.dtypes.canonicalize_dtype(v.dtype), copy=False)
+    if os.environ.get("PEMP_VERIFY_GLOBAL_PUTS"):
+        import hashlib
+        from jax.experimental import multihost_utils
+        d = hashlib.blake2b(v.tobytes(), digest_size=8).digest()
+        digests = np.asarray(multihost_utils.process_allgather(
+            np.frombuffer(d, dtype=np.int64)[0]))
+        if len(set(digests.reshape(-1).tolist())) > 1:
+            raise ValueError(
+                "put_global: host value differs across processes "
+                f"(shape {v.shape} {v.dtype}, per-rank digests "
+                f"{digests.reshape(-1).tolist()}) — the replicated-put "
+                "invariant is broken; the worlds would silently diverge")
     return jax.make_array_from_callback(v.shape, sharding,
                                         lambda idx: v[idx])
 

@@ -57,9 +57,11 @@ def device_batch(batch: Dict, sharding=None, compact_wire: bool = True,
     (global batch = local_bs * process_count). With the default
     ``process_local=False`` the host array is the full global value,
     identical on every process (eval loaders replay the same seeded
-    episode stream everywhere) — ``jax.device_put`` then places each
-    process's addressable rows. Confusing the two silently trains on a
-    mix of half-read batches, hence the explicit flag."""
+    episode stream everywhere) — ``put_global`` then places each
+    process's addressable rows (NOT ``jax.device_put``: its per-call
+    cross-host value check is the allgather put_global exists to avoid).
+    Confusing the two silently trains on a mix of half-read batches,
+    hence the explicit flag."""
     multihost = sharding is not None and spans_processes(sharding.mesh)
     # variable-size eval GT that happens to stack (same original
     # resolution != input size) is host-side metric data: the bucket and

@@ -48,6 +48,37 @@ def test_bucketed_eval_matches_host_exact(tmp_path):
     assert m_bucket == m_host, results
 
 
+def test_bucketed_eval_mesh_indivisible_batches(tmp_path):
+    """Regression: under a data mesh, bucketed eval's interp-matrix /
+    label puts must take the same replicate fallback device_batch applies
+    to the wire arrays — test_bs=3 on an 8-device mesh used to crash the
+    batch-sharded put ('3 should evenly divide 8'). Metrics must still
+    equal the host-exact path."""
+    import entry.baseline as eb
+
+    cfg, run = eb.ex.assemble("train", {
+        "split": "0", "data.dataset": "SYNTH", "data.height": "33",
+        "data.width": "33", "data.bs": "2", "data.train_n": "4",
+        "data.test_n": "2", "te.epochs": "1", "tr.total_epochs": "1",
+        "net.backbone": "vgg16", "g.model_dir": str(tmp_path),
+    })
+    eb.BaselineRuntime(cfg, run).train()
+
+    results = []
+    for test_bs, mesh in (("3", "8"), ("1", "0")):
+        cfg2, run2 = eb.ex.assemble("test", {
+            "split": "0", "data.dataset": "SYNTH", "data.height": "33",
+            "data.width": "33", "data.test_n": "7", "te.epochs": "1",
+            "data.var_gt": "True", "data.test_bs": test_bs,
+            "tpu.mesh": mesh, "net.backbone": "vgg16", "exp_id": "1",
+            "g.model_dir": str(tmp_path),
+        }, observed=False)
+        results.append(eb.BaselineRuntime(cfg2, run2).test())
+
+    assert results[0].split("mIoU")[1] == results[1].split("mIoU")[1], \
+        results
+
+
 def test_var_gt_multi_query_episode_stacks():
     """Regression: with query>1, the per-EPISODE GT size (keyed on the
     first query name) must apply to every query so the episode stacks —

@@ -111,7 +111,8 @@ def test_weak_scaling_per_device_flops_divide():
         compiled = step.jit_step.lower(
             state, dbatch, jnp.float32(0.1), jax.random.PRNGKey(1)
         ).compile()
-        return compiled.cost_analysis()["flops"]
+        cost = compiled.cost_analysis()
+        return (cost[0] if isinstance(cost, list) else cost)["flops"]
 
     f1 = per_device_flops(1)
     for n in (2, 8):

@@ -15,14 +15,16 @@ Prints one JSON line per shape and a blended summary.
 
 import json
 import os
-import time
+import sys
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 from jax import lax
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from exp_int8_conv import bench  # noqa: E402  (shared timing harness)
 
 B = 64  # S+Q=2 images per episode x 32 episodes
 
@@ -42,7 +44,8 @@ CASES = [
     ("l2_out_1x1",        4,  51,  51,  128,  512, 1, 1, 1),
     ("l2_mid_1x1",        3,  51,  51,  512,  128, 1, 1, 1),
     ("l2_down_1x1_s2",    1, 101, 101,  256,  512, 1, 2, 1),
-    ("l3_in_1x1",         6,  51,  51, 1024,  256, 1, 1, 1),  # first is 512->256
+    ("l3_in0_1x1",        1,  51,  51,  512,  256, 1, 1, 1),
+    ("l3_in_1x1",         5,  51,  51, 1024,  256, 1, 1, 1),
     ("l3_3x3_d2",         6,  51,  51,  256,  256, 3, 1, 2),
     ("l3_out_1x1",        6,  51,  51,  256, 1024, 1, 1, 1),
     ("l3_down_1x1",       1,  51,  51,  512, 1024, 1, 1, 1),
@@ -59,23 +62,10 @@ DN = lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
                                 ("NHWC", "HWIO", "NHWC"))
 
 
-def bench(fn, args, iters=20, rounds=4):
-    jitted = jax.jit(fn)
-    out = jitted(*args)
-    np.asarray(out[0, 0, 0, 0])
-    best = float("inf")
-    for _ in range(rounds):
-        tic = time.perf_counter()
-        for _ in range(iters):
-            out = jitted(*args)
-        np.asarray(out[0, 0, 0, 0])
-        best = min(best, (time.perf_counter() - tic) / iters)
-    return best
-
-
 def main():
     rng = np.random.RandomState(0)
     tot = {"bf16_ms": 0.0, "int8_ms": 0.0, "flops": 0}
+    errors = []
     for name, cnt, h, w, ci, co, k, s, d in CASES:
         x = rng.randn(B, h, w, ci).astype(np.float32)
         wgt = (rng.randn(k, k, ci, co) * 0.05).astype(np.float32)
@@ -108,21 +98,28 @@ def main():
         for label, fn, a in (("bf16", conv_bf16, (jnp.asarray(x), jnp.asarray(wgt))),
                              ("int8", conv_int8, (jnp.asarray(x), wq))):
             try:
-                t = bench(fn, a)
+                t = bench(fn, a, iters=20, rounds=4)
                 row[label + "_ms"] = round(t * 1e3, 3)
                 row[label + "_tflops"] = round(flops / t / 1e12, 1)
                 tot[label + "_ms"] += t * 1e3 * cnt
             except Exception as e:
                 row[label + "_error"] = repr(e)[:120]
+                errors.append(f"{name}:{label}")
         tot["flops"] += flops * cnt
         print(json.dumps(row), flush=True)
 
-    print(json.dumps({
+    summary = {
         "blend_bf16_ms": round(tot["bf16_ms"], 2),
         "blend_int8_ms": round(tot["int8_ms"], 2),
-        "speedup": round(tot["bf16_ms"] / max(tot["int8_ms"], 1e-9), 3),
         "total_gflops": round(tot["flops"] / 1e9, 1),
-    }))
+    }
+    if errors:
+        # a partial blend compares mismatched inventories — don't print a
+        # go/no-go number computed from it
+        summary["errors"] = errors
+    else:
+        summary["speedup"] = round(tot["bf16_ms"] / tot["int8_ms"], 3)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

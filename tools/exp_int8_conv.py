@@ -21,13 +21,17 @@ from jax import lax
 
 
 def bench(fn, args, iters=30, rounds=5):
-    out = jax.jit(fn)(*args)
+    """Best-of-rounds per-call seconds for a jitted fn (shared with
+    exp_int8_blend.py). Window closed by a value fetch (CLAUDE.md:
+    block_until_ready can return early through the tunnel)."""
+    jitted = jax.jit(fn)
+    out = jitted(*args)
     np.asarray(out[0, 0, 0, 0])          # value fetch closes the window
     best = float("inf")
     for _ in range(rounds):
         tic = time.perf_counter()
         for _ in range(iters):
-            out = jax.jit(fn)(*args)
+            out = jitted(*args)
         np.asarray(out[0, 0, 0, 0])
         best = min(best, (time.perf_counter() - tic) / iters)
     return best

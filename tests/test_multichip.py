@@ -153,6 +153,29 @@ def test_put_global_shard_branch(monkeypatch):
     np.testing.assert_array_equal(np.asarray(b), v.astype(np.float32))
 
 
+def test_put_global_verify_flag(monkeypatch):
+    """PEMP_VERIFY_GLOBAL_PUTS: matching digests pass, a divergent rank
+    raises instead of silently building a 'replicated' array whose
+    shards differ."""
+    import pemp_tpu.parallel.mesh as mesh_lib
+    monkeypatch.setattr(mesh_lib, "spans_processes", lambda m: True)
+    monkeypatch.setenv("PEMP_VERIFY_GLOBAL_PUTS", "1")
+    mesh = mesh_lib.data_mesh(8)
+    v = np.arange(16 * 3, dtype=np.float32).reshape(16, 3)
+
+    # world of 1: the allgather returns this rank's digest — equal, passes
+    a = mesh_lib.put_global(v, mesh_lib.batch_sharding(mesh))
+    np.testing.assert_array_equal(np.asarray(a), v)
+
+    # simulate a divergent peer: the gathered digests disagree
+    from jax.experimental import multihost_utils
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        lambda x, **kw: np.asarray([x, x + 1]))
+    import pytest
+    with pytest.raises(ValueError, match="differs across processes"):
+        mesh_lib.put_global(v, mesh_lib.batch_sharding(mesh))
+
+
 def test_process_episode_range():
     from pemp_tpu.parallel.mesh import process_episode_range
     start, stop = process_episode_range(1000)

@@ -21,9 +21,36 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import threading
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+# Watchdog BEFORE the jax import: during a tunnel outage even `import
+# jax` can hang (the axon sitecustomize registration blocks on the
+# relay, CLAUDE.md), and a bench that hangs forever emits nothing —
+# breaking the driver's one-JSON-line contract. If no measurement
+# completes within the deadline (normal full run incl. slow-link
+# extension is ~15 min), emit a diagnostic line and exit. The normal
+# path disarms it.
+_WATCHDOG_S = float(os.environ.get("PEMP_BENCH_WATCHDOG_S", "2700"))
+_bench_done = threading.Event()
+
+
+def _watchdog():
+    if not _bench_done.wait(_WATCHDOG_S):
+        print(json.dumps({
+            "metric": "PEMP-s1 r50 1-shot eval episodes/sec/chip "
+                      "(WATCHDOG: device link wedged before any "
+                      "measurement completed)",
+            "value": 0.0,
+            "unit": "episodes/s",
+            "vs_baseline": 0.0,
+        }), flush=True)
+        os._exit(3)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
 
 import jax
 import jax.numpy as jnp
@@ -103,6 +130,7 @@ def main():
     eps = best_of_rounds(timed_round, on_tpu, budget_s=BUDGET_S,
                          extend_s=EXTEND_S, slow_launch_s=SLOW_LAUNCH_S,
                          off_tpu_budget_s=off_budget, max_rounds=ROUNDS)
+    _bench_done.set()   # disarm the watchdog before the contract line
     print(json.dumps({
         "metric": "PEMP-s1 r50 1-shot eval episodes/sec/chip "
                   f"({hw}x{hw}, B={batch}, "

@@ -56,7 +56,7 @@ class CaNetRuntime(EntryRuntime):
         h8 = (cfg.data.height - 1) // 8 + 1
         w8 = (cfg.data.width - 1) // 8 + 1
         self.h8, self.w8 = h8, w8
-        self.store = HistoryStore(h8, w8)
+        self.store = HistoryStore(h8, w8, seed=cfg.seed)
 
     def wrap_data(self, ds, loader, train):
         adapter = CaNetDataAdapter(ds, self.store, train)

@@ -14,31 +14,49 @@ Semantics preserved:
   when loaded (reference :420-431),
 - after every train/eval step the query's softmax prediction at 1/8
   resolution is written back (reference entry/canet.py:77-80, :137-140).
-"""
+
+The reset draw is a deterministic hash of (seed, sample, per-sample load
+count), NOT python's global ``random`` (which the reference uses): a
+global-stream draw depends on every other ``random`` call's order, so
+under multi-host its cross-rank agreement rests on perfect lockstep of
+unrelated code — one rank-local draw anywhere and the 'replicated'
+history batches silently diverge. The hash keeps the Bernoulli(0.3)
+marginal per load (distributional parity — SURVEY §7.3 accepts that for
+train-time randomness) while making the stream a pure function of what
+was loaded, identical on every host and loader topology."""
 
 from __future__ import annotations
 
-import random
 import threading
+import zlib
 from typing import Dict, Tuple
 
 import numpy as np
 
 
 class HistoryStore:
-    def __init__(self, h8: int, w8: int):
+    def __init__(self, h8: int, w8: int, seed: int = 1234):
         self.h8 = h8
         self.w8 = w8
+        self.seed = int(seed)
         self._store: Dict[Tuple[int, str], np.ndarray] = {}
+        self._loads: Dict[Tuple[int, str], int] = {}
         self._lock = threading.Lock()
 
     def get(self, cls: int, name, train: bool) -> np.ndarray:
         key = (int(cls), name)
         with self._lock:
             hist = self._store.get(key)
-        if hist is None or (train and random.random() > 0.7):
+            if train:
+                n = self._loads.get(key, 0)
+                self._loads[key] = n + 1
+        if hist is None or (train and self._reset_draw(key, n)):
             return np.zeros((self.h8, self.w8, 2), np.float32)
         return hist
+
+    def _reset_draw(self, key: Tuple[int, str], n_load: int) -> bool:
+        h = zlib.crc32(f"{self.seed}/{key[0]}/{key[1]}/{n_load}".encode())
+        return h / 2 ** 32 < 0.3
 
     def put(self, cls: int, name, softmax: np.ndarray) -> None:
         with self._lock:
@@ -47,6 +65,7 @@ class HistoryStore:
     def clear(self):
         with self._lock:
             self._store.clear()
+            self._loads.clear()
 
 
 class CaNetDataAdapter:

@@ -262,17 +262,31 @@ def test_two_process_canet_pipeline(tmp_path):
     complete: an episode can land on a different host next epoch), the
     post-step history write-back allgathers the global logits, and eval
     goes through the host-exact path (supports_fast_eval=False) whose
-    logits fetch must reassemble cross-host shards. Smoke-level
-    assertions: no deadlock, both ranks agree on the broadcast-weighted
-    test metrics, rank 0 recorded the run. (No single-process trajectory
-    comparison — the 30% history reset draws from python's global
-    ``random`` in load order, which is not stable across loader
-    topologies.)"""
+    logits fetch must reassemble cross-host shards.
+
+    Asserts: no deadlock, both ranks agree on the broadcast-weighted
+    test metrics, rank 0 recorded the run, AND the 2-process trajectory
+    matches a single-process run at the same (unsharded) batch size —
+    possible since the history reset became a deterministic per-load
+    hash (pemp_tpu/data/history.py) instead of a python-global-random
+    draw whose stream depended on loader topology."""
     r0, r1 = _spawn_entry_world(tmp_path, "canet", 2, "canet")
     assert r0["world"] == r1["world"] == 2
     for k in ("loss", "miou", "biou"):
         assert r0[k] == r1[k], f"{k}: {r0[k]} != {r1[k]}"
     assert r0["train_loss"] or r1["train_loss"]   # rank 0 recorded
+
+    worker = Path(__file__).parent / "distributed_entry_worker.py"
+    single_out = tmp_path / "canet_single.json"
+    single = subprocess.run(
+        [sys.executable, str(worker), str(single_out),
+         str(tmp_path / "canet_single"), "2", "canet"],
+        env=_env({}), capture_output=True, text=True, timeout=TIMEOUT_S)
+    assert single.returncode == 0, single.stdout + single.stderr
+    ref = json.load(open(single_out))
+    stream = r0["train_loss"] or r1["train_loss"]
+    np.testing.assert_allclose(stream, ref["train_loss"], rtol=2e-3)
+    np.testing.assert_allclose(r0["miou"], ref["miou"], atol=2.0)
 
 
 def test_two_process_resume(tmp_path):

@@ -45,7 +45,8 @@ def test_comm_module_matches_reference_math():
     with torch.no_grad():
         linear.weight.copy_(torch.from_numpy(
             params["linear"]["kernel"].T.copy()))
-        linear.bias.copy_(torch.from_numpy(params["linear"]["bias"]))
+        linear.bias.copy_(torch.from_numpy(
+            np.asarray(params["linear"]["bias"]).copy()))
 
     feat, new_mask = module.apply(variables, jnp.asarray(x),
                                   jnp.asarray(mask))

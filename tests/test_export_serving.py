@@ -65,3 +65,41 @@ def test_serving_export_roundtrip(family, backbone):
     got = np.asarray(restored.call(*inputs))
     assert want.shape == (b, 1, hw, hw, 2)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("family,backbone", FAMILIES,
+                         ids=[f + "_poly" for f, _ in FAMILIES])
+def test_serving_export_batch_polymorphic(family, backbone):
+    """ONE artifact serves every episode batch size: export with a
+    jax.export symbolic batch dim, then call the deserialized artifact
+    at B=1 and B=2 and match the live forward. Covers the symbolic
+    trace through every family's special path (CM episode pooling,
+    RPMMs EM fori_loops, CaNet history input, PFENet bin pooling)."""
+    from jax import export
+
+    model, params, stats = build_init_trees(family, backbone, shot=1)
+    variables = {"params": params}
+    if stats:
+        variables["batch_stats"] = stats
+    hw = 41 if family == "pfenet" else 33
+    b, = export.symbolic_shape("b")
+    serve, specs = build_serving_fn(family, model, variables, b, 1, 1, hw)
+    restored = export.deserialize(export.export(serve)(*specs).serialize())
+
+    rng = np.random.RandomState(0)
+    for B in (1, 2):
+        inputs = []
+        for s in specs:
+            shape = (B,) + tuple(s.shape)[1:]
+            inputs.append(jnp.asarray(rng.randn(*shape).astype(np.float32)))
+        fg = (rng.rand(B, 1, hw, hw, 1) > 0.5).astype(np.float32)
+        inputs[1] = jnp.asarray(np.concatenate([fg, 1 - fg], -1))
+        if family == "pemp_stage2":
+            inputs[3] = jnp.asarray(
+                (rng.rand(B, 1, hw, hw) > 0.5).astype(np.float32))
+        want = np.asarray(serve(*inputs))
+        got = np.asarray(restored.call(*inputs))
+        assert want.shape == (B, 1, hw, hw, 2)
+        # the polymorphic trace may fuse differently from the static
+        # jit; require float32-tight agreement rather than bit equality
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -15,6 +15,12 @@ Usage:
       --out pemp_s1.stablehlo --batch 8 --hw 401 \
       --platforms tpu,cpu
 
+``--batch poly`` exports a single BATCH-POLYMORPHIC artifact
+(jax.export symbolic dimension): the serving side calls it at any
+episode batch size without re-exporting — one artifact covers the
+B=1 low-latency path and large-B batch serving. Spatial dims stay
+static (the resize-as-matmul interpolants are baked per resolution).
+
 The exported callable maps (sup_rgb [B,S,H,W,3], sup_mask [B,S,H,W,2],
 qry_rgb [B,Q,H,W,3]) -> logits [B,Q,H,W,2] (input-resolution logits,
 argmax = prediction). pemp_stage2 additionally takes the stage-1 prior
@@ -33,7 +39,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 def build_serving_fn(model_name: str, model, variables, batch, shot,
                      query, hw):
-    """Jitted eval forward with baked-in weights + its input specs."""
+    """Jitted eval forward with baked-in weights + its input specs.
+
+    ``batch`` may be an int or a ``jax.export`` symbolic dimension
+    (batch-polymorphic artifact; every op in the eval forward is
+    batch-elementwise or batch-contracted, so one trace serves all B).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -73,7 +84,9 @@ def main():
     ap.add_argument("--backbone", default="resnet50")
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--out", required=True)
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", default="8",
+                    help="episode batch size, or 'poly' for a "
+                         "batch-polymorphic artifact (symbolic B)")
     ap.add_argument("--shot", type=int, default=1)
     ap.add_argument("--query", type=int, default=1)
     ap.add_argument("--hw", type=int, default=401)
@@ -90,8 +103,12 @@ def main():
     variables = ckpt_lib.load_variables(
         Path(args.ckpt), {"params": params, "batch_stats": stats})
 
+    if args.batch in ("poly", "sym"):
+        batch, = export.symbolic_shape("b")
+    else:
+        batch = int(args.batch)
     serve, specs = build_serving_fn(args.model, model, variables,
-                                    args.batch, args.shot, args.query,
+                                    batch, args.shot, args.query,
                                     args.hw)
     kwargs = {}
     if args.platforms:
@@ -101,10 +118,11 @@ def main():
     Path(args.out).write_bytes(data)
     manifest = {
         "model": args.model, "backbone": args.backbone,
-        "batch": args.batch, "shot": args.shot, "query": args.query,
+        "batch": str(batch), "shot": args.shot, "query": args.query,
         "hw": args.hw, "platforms": list(exported.platforms),
         "bytes": len(data),
-        "inputs": [list(s.shape) for s in specs],
+        "inputs": [[d if isinstance(d, int) else str(d) for d in s.shape]
+                   for s in specs],
         "output": "[B,Q,H,W,2] input-resolution logits (argmax=pred)",
     }
     Path(args.out + ".json").write_text(json.dumps(manifest, indent=2))

@@ -190,13 +190,15 @@ class COCO20i:
             img = T.color_jitter(img)
             if flip:
                 img = T.hflip_image(img)
-            rgb = T.normalize(img, self.cfg.data.mean, self.cfg.data.std)
             msk = T.resize_mask(self.get_label(cls, img_id), scaled)
             if flip:
                 msk = T.hflip_image(msk)
             msk = np.array(msk, np.uint8)
+            # crop BEFORE normalizing (bit-identical, elementwise —
+            # see pascal.py): the jittered border is never normalized
+            arr = np.asarray(img.convert("RGB"))
             try:
-                rgb, msk = T.smart_crop(rgb, msk, self.height, self.width)
+                arr, msk = T.smart_crop(arr, msk, self.height, self.width)
             except (ValueError, IndexError):
                 # corrupt label: fake centered box (reference :307-319)
                 meta = self.coco.loadImgs(int(img_id))[0]
@@ -206,7 +208,8 @@ class COCO20i:
                 h_, w_ = msk.shape
                 msk[h_ // 2 - h_ // 8:h_ // 2 + h_ // 8,
                     w_ // 2 - w_ // 8:w_ // 2 + w_ // 8] = 1
-                rgb, msk = T.smart_crop(rgb, msk, self.height, self.width)
+                arr, msk = T.smart_crop(arr, msk, self.height, self.width)
+            rgb = T.normalize(arr, self.cfg.data.mean, self.cfg.data.std)
         else:
             rgb = T.normalize(T.resize_image(self.get_image(img_id), hw),
                               self.cfg.data.mean, self.cfg.data.std)

@@ -109,8 +109,14 @@ class PascalVOC:
         key = f"{cls}_{name}"
         if self.cache:
             if key not in _label_cache:
-                _label_cache[key] = Image.open(
-                    self.lab_dir / str(cls) / f"{name}.png")
+                img = Image.open(self.lab_dir / str(cls) / f"{name}.png")
+                # force the decode BEFORE publishing to the cache:
+                # Image.open is lazy, and two loader threads racing the
+                # first load of a shared lazy object crash in PIL's
+                # load_end (found by tools/bench_input.py with the
+                # default cache=True + num_workers>1)
+                img.load()
+                _label_cache[key] = img
             return _label_cache[key]
         return Image.open(self.lab_dir / str(cls) / f"{name}.png")
 
@@ -125,12 +131,16 @@ class PascalVOC:
             img = T.color_jitter(img)
             if flip:
                 img = T.hflip_image(img)
-            rgb = T.normalize(img, self.cfg.data.mean, self.cfg.data.std)
             msk = T.resize_mask(self.get_label(cls, name), scaled)
             if flip:
                 msk = T.hflip_image(msk)
             msk = np.array(msk, np.uint8)
-            rgb, msk = T.smart_crop(rgb, msk, self.height, self.width)
+            # crop BEFORE normalizing: normalize is elementwise, so the
+            # result is bit-identical and the scale-jittered border
+            # pixels (up to 1.5^2 x) are never normalized at all
+            arr = np.asarray(img.convert("RGB"))
+            arr, msk = T.smart_crop(arr, msk, self.height, self.width)
+            rgb = T.normalize(arr, self.cfg.data.mean, self.cfg.data.std)
         else:
             rgb = T.normalize(T.resize_image(self.get_image(name), hw),
                               self.cfg.data.mean, self.cfg.data.std)

@@ -50,10 +50,25 @@ def color_jitter(img: Image.Image, brightness=0.4, contrast=0.4,
     return img
 
 
-def normalize(img: Image.Image, mean=IMAGENET_MEAN, std=IMAGENET_STD):
-    """PIL -> float32 HWC in [0,1] -> ImageNet-normalized."""
-    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
-    return (arr - mean) / std
+def normalize(img, mean=IMAGENET_MEAN, std=IMAGENET_STD):
+    """PIL (or uint8 HWC array) -> float32 in [0,1] -> ImageNet-normalized.
+
+    All arithmetic stays in float32 — exactly torchvision's Normalize on
+    f32 tensors. (Passing the config's mean/std TUPLES into numpy used
+    to upcast the whole pipeline to float64: 4x the normalize cost and
+    a 1-ulp deviation from the reference's f32 math. Found by
+    tools/bench_input.py profiling.)
+    """
+    mean = np.asarray(mean, np.float32)
+    std = np.asarray(std, np.float32)
+    if isinstance(img, np.ndarray):
+        arr = img.astype(np.float32)
+    else:
+        arr = np.asarray(img.convert("RGB"), np.float32)
+    arr /= 255.0
+    arr -= mean
+    arr /= std
+    return arr
 
 
 def hflip_image(img: Image.Image) -> Image.Image:

@@ -87,3 +87,19 @@ def test_seeded_stream_reproducible(voc_root):
     a.sample_tasks()
     b.sample_tasks()
     assert a.sampler.tasks == b.sampler.tasks
+
+
+def test_cached_labels_are_eagerly_decoded(voc_root):
+    """The module-level PIL caches must only hold FULLY-DECODED images:
+    Image.open is lazy, and two loader threads racing the first load of
+    a shared lazy object crash inside PIL (PngImagePlugin load_end).
+    Found by tools/bench_input.py with the default cache=True."""
+    cfg = make_cfg(voc_root)
+    cfg.data.cache = True
+    ds = PascalVOC(cfg, train=True, split=0, shot=1, query=1)
+    cls = ds.classes[0]
+    name = ds.samples_by_class[cls][0]
+    lab = ds.get_label(cls, name)
+    assert getattr(lab, "im", None) is not None, "cached label is lazy"
+    img = ds.get_image(name)
+    assert getattr(img, "im", None) is not None, "cached image is lazy"

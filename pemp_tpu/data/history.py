@@ -5,25 +5,31 @@ object (``history_mask_list``, reference data_kits/pascal_voc.py:324)
 and mutates it from the training loop — a fork-safety hazard with
 DataLoader workers (SURVEY.md section 5.2: updates only reach workers
 because they are re-forked each epoch). This rebuild uses an explicit
-host-side store keyed by (class, sample name): deterministic under any
-number of loader threads and trivially shardable per process.
+host-side store keyed by (class, sample name) with two deterministic
+semantics the reference gets implicitly from forked workers:
 
-Semantics preserved:
-- initial history = zeros [h8, w8, 2],
-- during training, a sample's history is reset to zeros with prob 0.3
-  when loaded (reference :420-431),
-- after every train/eval step the query's softmax prediction at 1/8
-  resolution is written back (reference entry/canet.py:77-80, :137-140).
+1. **Epoch-snapshot reads.** Reference workers hold a fork of the
+   dataset taken when the epoch's iterator is created; the training
+   loop's write-backs only become visible when the NEXT epoch (or eval
+   round) re-forks. Reads here therefore come from a snapshot taken at
+   ``next_epoch()`` (called when tasks are resampled) while writes go
+   to the live store — so what an episode sees never depends on loader
+   threading, prefetch depth, or how far the consumer has stepped.
 
-The reset draw is a deterministic hash of (seed, sample, per-sample load
-count), NOT python's global ``random`` (which the reference uses): a
-global-stream draw depends on every other ``random`` call's order, so
-under multi-host its cross-rank agreement rests on perfect lockstep of
-unrelated code — one rank-local draw anywhere and the 'replicated'
-history batches silently diverge. The hash keeps the Bernoulli(0.3)
-marginal per load (distributional parity — SURVEY §7.3 accepts that for
-train-time randomness) while making the stream a pure function of what
-was loaded, identical on every host and loader topology."""
+2. **Stream-pure reset draws.** During training a sample's history is
+   reset to zeros with prob 0.3 when loaded (reference :420-431). The
+   reference draws from python's global ``random`` — a stream that
+   depends on every other random call's order. Here the draw is a
+   deterministic hash of (seed, epoch, episode index, sample): a pure
+   function of the globally-seeded task stream, identical on every
+   host, loader topology, and thread schedule, with the Bernoulli(0.3)
+   marginal per load preserved (SURVEY §7.3 accepts distributional
+   parity for train-time randomness).
+
+Initial history = zeros [h8, w8, 2]; after every train/eval step the
+query's softmax prediction at 1/8 resolution is written back
+(reference entry/canet.py:77-80, :137-140).
+"""
 
 from __future__ import annotations
 
@@ -39,23 +45,34 @@ class HistoryStore:
         self.h8 = h8
         self.w8 = w8
         self.seed = int(seed)
+        self.epoch = 0
         self._store: Dict[Tuple[int, str], np.ndarray] = {}
-        self._loads: Dict[Tuple[int, str], int] = {}
+        self._snapshot: Dict[Tuple[int, str], np.ndarray] = {}
         self._lock = threading.Lock()
 
-    def get(self, cls: int, name, train: bool) -> np.ndarray:
+    def next_epoch(self) -> None:
+        """Start a new epoch / eval round: write-backs made so far
+        become visible to reads (the reference's worker re-fork)."""
+        with self._lock:
+            self.epoch += 1
+            self._snapshot = dict(self._store)
+
+    def get(self, cls: int, name, train: bool, idx: int = 0) -> np.ndarray:
+        """History for one query load; ``idx`` is the episode's index in
+        the epoch's task list (identifies the load event for the reset
+        draw — only consulted when ``train``)."""
         key = (int(cls), name)
         with self._lock:
-            hist = self._store.get(key)
-            if train:
-                n = self._loads.get(key, 0)
-                self._loads[key] = n + 1
-        if hist is None or (train and self._reset_draw(key, n)):
+            hist = self._snapshot.get(key)
+            epoch = self.epoch
+        if hist is None or (train and self._reset_draw(key, epoch, idx)):
             return np.zeros((self.h8, self.w8, 2), np.float32)
         return hist
 
-    def _reset_draw(self, key: Tuple[int, str], n_load: int) -> bool:
-        h = zlib.crc32(f"{self.seed}/{key[0]}/{key[1]}/{n_load}".encode())
+    def _reset_draw(self, key: Tuple[int, str], epoch: int,
+                    idx: int) -> bool:
+        h = zlib.crc32(
+            f"{self.seed}/{epoch}/{idx}/{key[0]}/{key[1]}".encode())
         return h / 2 ** 32 < 0.3
 
     def put(self, cls: int, name, softmax: np.ndarray) -> None:
@@ -65,12 +82,14 @@ class HistoryStore:
     def clear(self):
         with self._lock:
             self._store.clear()
-            self._loads.clear()
+            self._snapshot.clear()
+            self.epoch = 0
 
 
 class CaNetDataAdapter:
     """Wraps an episodic dataset: adds the query history mask to every
-    episode and exposes the names needed for write-back."""
+    episode and advances the store's epoch whenever the task stream is
+    resampled (train epochs and eval rounds both resample)."""
 
     def __init__(self, dataset, store: HistoryStore, train: bool):
         self.dataset = dataset
@@ -85,18 +104,13 @@ class CaNetDataAdapter:
     def __len__(self):
         return len(self.dataset)
 
+    def sample_tasks(self):
+        self.store.next_epoch()
+        return self.dataset.sample_tasks()
+
     def get_episode(self, idx: int):
         ep = self.dataset.get_episode(idx)
-        hist = [self.store.get(ep["cls"], n, self.train)
+        hist = [self.store.get(ep["cls"], n, self.train, idx)
                 for n in ep["qry_names"]]
         ep["history"] = np.stack(hist)     # [Q, h8, w8, 2]
         return ep
-
-    def update(self, batch, softmax: np.ndarray) -> None:
-        """softmax: [B, Q, h8, w8, 2] feature-res predictions. EVERY
-        query's prediction is written back — episodes with query > 1
-        would otherwise leave queries >= 1 on the zeros default
-        forever."""
-        for i in range(softmax.shape[0]):
-            for j, name in enumerate(batch["qry_names"][i]):
-                self.store.put(batch["cls"][i], name, softmax[i, j])

@@ -116,29 +116,45 @@ def test_history_store():
     store = HistoryStore(5, 5)
     z = store.get(3, "a", train=False)
     assert z.shape == (5, 5, 2) and (z == 0).all()
+
+    # EPOCH-SNAPSHOT reads (the reference's forked-worker visibility):
+    # a write-back is invisible until the next epoch/round resamples
     store.put(3, "a", np.full((5, 5, 2), 0.7, np.float32))
-    got = store.get(3, "a", train=False)
-    np.testing.assert_allclose(got, 0.7)
-    # train mode: ~30% of reads reset to zeros
-    zeros = sum((store.get(3, "a", train=True) == 0).all()
-                for _ in range(500))
+    assert (store.get(3, "a", train=False) == 0).all()
+    store.next_epoch()
+    np.testing.assert_allclose(store.get(3, "a", train=False), 0.7)
+
+    # train mode: ~30% of loads reset to zeros (distinct load events =
+    # distinct episode indices in the epoch's task list)
+    zeros = sum((store.get(3, "a", train=True, idx=i) == 0).all()
+                for i in range(500))
     assert 100 < zeros < 220, zeros
 
-    # the reset stream is a pure function of (seed, sample, load count):
-    # two stores loading the same samples in DIFFERENT interleavings draw
-    # identical resets per sample — cross-host agreement by construction
-    # (python-global-random would depend on every other call's order)
+    # the reset stream is a PURE function of (seed, epoch, episode idx,
+    # sample) — independent of thread schedule, load interleaving, and
+    # store instance: cross-host agreement by construction (the old
+    # per-sample load COUNTER was scheduler-dependent when one sample
+    # appeared twice in a concurrently-decoded chunk; python-global-
+    # random depended on every other call's order)
     def draws(order):
         s = HistoryStore(5, 5, seed=7)
         for c, n in order:
             s.put(c, n, np.full((5, 5, 2), 0.7, np.float32))
+        s.next_epoch()
         out = {}
         for c, n in order:
-            for _ in range(20):
+            for i in range(20):
                 out.setdefault((c, n), []).append(
-                    bool((s.get(c, n, train=True) == 0).all()))
+                    bool((s.get(c, n, train=True, idx=i) == 0).all()))
         return out
 
     a = draws([(1, "x"), (2, "y")])
     b = draws([(2, "y"), (1, "x")])
     assert a == b and any(any(v) for v in a.values())
+    # and it varies across epochs for the same (idx, sample)
+    s = HistoryStore(5, 5, seed=7)
+    per_epoch = []
+    for _ in range(40):
+        s.next_epoch()
+        per_epoch.append(s._reset_draw((1, "x"), s.epoch, 0))
+    assert any(per_epoch) and not all(per_epoch)

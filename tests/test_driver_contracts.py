@@ -46,3 +46,24 @@ def test_graft_entry_is_jittable():
     fn, args = graft.entry()
     out = jax.jit(fn)(*args)
     assert out.ndim == 5 and out.shape[-1] == 2   # [B,Q,h,w,2] logits
+
+
+def test_bench_watchdog_fires_on_wedge_and_stays_silent_on_progress():
+    """The watchdog is a NO-PROGRESS bound: a simulated wedge (the
+    PEMP_BENCH_FAKE_WEDGE_S hook sleeps before any launch completes)
+    must produce exactly ONE WATCHDOG-tagged zero line and exit 3 —
+    the driver's one-JSON-line contract survives a dead link."""
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env.update({"JAX_PLATFORMS": "cpu",
+                "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+                "PEMP_BENCH_WATCHDOG_S": "1",
+                "PEMP_BENCH_FAKE_WEDGE_S": "120"})
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py")], env=env,
+        capture_output=True, text=True, timeout=60)
+    assert out.returncode == 3, (out.returncode, out.stdout, out.stderr[-500:])
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE JSON line, got: {out.stdout!r}"
+    doc = json.loads(lines[0])
+    assert "WATCHDOG" in doc["metric"] and doc["value"] == 0.0

@@ -149,8 +149,11 @@ def main():
                   f"{r['ms_per_ep_wall']:>11} {r['ms_per_ep_cpu']:>10}")
 
     # cores one chip costs: device demand x host CPU-ms per episode
+    # (taken at the smallest measured worker count — per-episode CPU
+    # cost is what divides across cores)
+    w_min = min(worker_list)
     base = {r["mode"]: r["ms_per_ep_cpu"] for r in results
-            if r["workers"] == 1}
+            if r["workers"] == w_min}
     demand = {"train": 170.0, "test": 830.0}   # v5e eps/s, DESIGN.md
     cores = {m: round(demand[m] * base[m] / 1e3, 2) for m in base}
     summary = {"metric": "input_pipeline_cores_per_chip", "cores": cores,

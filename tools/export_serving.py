@@ -118,7 +118,8 @@ def main():
     Path(args.out).write_bytes(data)
     manifest = {
         "model": args.model, "backbone": args.backbone,
-        "batch": str(batch), "shot": args.shot, "query": args.query,
+        "batch": batch if isinstance(batch, int) else str(batch),
+        "shot": args.shot, "query": args.query,
         "hw": args.hw, "platforms": list(exported.platforms),
         "bytes": len(data),
         "inputs": [[d if isinstance(d, int) else str(d) for d in s.shape]

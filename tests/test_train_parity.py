@@ -567,3 +567,76 @@ def test_pfenet_train_grad_parity():
     # constant, bounded at ~1e-7. Every other family only hits exact
     # dyadic ratios (weights exact in f32), hence the tighter REL there.
     assert_tree_close(grads, want, rel=3e-7, what="pfenet-grad")
+
+
+def test_baseline_train_grad_and_stats_parity():
+    """Baseline r50 — the 7th family: the ADJOINT-form masked-average
+    pooling (we contract original-resolution features against the
+    down-projected mask; the reference upsamples features to mask size
+    first, baseline.py:100) must be gradient-exact vs torch's literal
+    upsample-then-pool, through frozen-BN batch statistics and the
+    projection conv. Also checks the BN running-stat update and one
+    clipped SGD step with the frozen-BN mask."""
+    from pemp_tpu.models.baseline import Baseline
+
+    torch.manual_seed(13)
+    rng = np.random.RandomState(13)
+    ref = tm.TorchBaselineR50()
+    tm.randomize_all_bns(ref, rng)
+    ref.train()
+
+    sup_img, sup_mask, qry_img = episode(rng)
+    labels = make_labels(rng)
+    model = Baseline(backbone="resnet50", dtype=jnp.float64)
+    params, stats = setup_trees(
+        model, ref, "baseline", "resnet50",
+        (jnp.asarray(sup_img), jnp.asarray(sup_mask),
+         jnp.asarray(qry_img)), {"out_hw": (H, W)})
+
+    labels_j = jnp.asarray(labels)
+    labels_t = torch.from_numpy(labels.astype(np.int64))
+
+    def run_loss(p):
+        out, mut = model.apply(
+            {"params": p, "batch_stats": stats},
+            jnp.asarray(sup_img), jnp.asarray(sup_mask),
+            jnp.asarray(qry_img), out_hw=(H, W), train=True,
+            mutable=["batch_stats"])
+        loss = loss_lib.cross_entropy(out.reshape(B * Q, H, W, 2),
+                                      labels_j)
+        return loss, mut["batch_stats"]
+
+    with jax.default_matmul_precision("highest"):
+        (loss, new_stats), grads = jax.value_and_grad(
+            run_loss, has_aux=True)(params)
+
+    out_t = ref(nchw(sup_img), nchw(sup_mask), nchw(qry_img))
+    sd_after_fwd = to_numpy_sd(ref)
+    tl = F.cross_entropy(out_t, labels_t, ignore_index=255)
+    tl.backward()
+    np.testing.assert_allclose(float(loss), float(tl.detach()), rtol=1e-9)
+    want, _ = torch_to_trees("baseline", "resnet50", grad_sd(ref),
+                             params, stats)
+    assert_tree_close(grads, want, what="baseline-grad")
+
+    _, want_stats = torch_to_trees("baseline", "resnet50", sd_after_fwd,
+                                   params, stats)
+    assert_tree_close(jax.tree_util.tree_map(np.asarray, new_stats),
+                      want_stats, what="batch-stats")
+
+    # one clipped SGD step under the frozen-BN mask
+    frozen = Baseline.FROZEN["resnet50"]
+    freeze_torch(ref, frozen)
+    ref.zero_grad()
+    out_t = ref(nchw(sup_img), nchw(sup_mask), nchw(qry_img))
+    F.cross_entropy(out_t, labels_t, ignore_index=255).backward()
+    torch.nn.utils.clip_grad_norm_(ref.parameters(), TR_CFG.grad_clip)
+    opt = torch.optim.SGD(
+        [p for p in ref.parameters() if p.requires_grad], LR,
+        momentum=TR_CFG.sgd_momentum, weight_decay=TR_CFG.weight_decay)
+    opt.step()
+    new_params = jax_sgd_step(params, grads, frozen)
+    want_params, _ = torch_to_trees("baseline", "resnet50",
+                                    to_numpy_sd(ref), params, stats)
+    assert_tree_close(jax.tree_util.tree_map(np.asarray, new_params),
+                      want_params, what="baseline-sgd-step")

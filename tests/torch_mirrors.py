@@ -906,3 +906,45 @@ class TorchPEMPStage2(TorchPEMPStage1):
             return out, response.squeeze(1).long()
         return F.interpolate(pred, out_shape, mode="bilinear",
                              align_corners=True)
+
+
+class TorchBaselineR50(nn.Module):
+    """Reference Baseline, ResNet-50 encoder (baseline.py:53-61:
+    Sequential(backbone=3-stage dilated ResNet, projection=1x1 conv) —
+    support features upsampled to MASK size before pooling :100)."""
+
+    def __init__(self, out_channels=512, dist_scalar=20.0):
+        super().__init__()
+        self.encoder = nn.Sequential(OrderedDict([
+            ("backbone", TorchResNet((3, 4, 6))),
+            ("projection", nn.Conv2d(1024, out_channels, 1, bias=True)),
+        ]))
+        self.dist_scalar = dist_scalar
+
+    def forward(self, sup_img, sup_mask, qry_img, out_shape=None):
+        B, S, C, H, W = sup_img.size()
+        Q = qry_img.size(1)
+        img_cat = torch.cat((sup_img, qry_img), dim=1) \
+            .view(B * (S + Q), C, H, W)
+        features = self.encoder(img_cat)
+        _, c, h, w = features.size()
+        features = features.view(B, S + Q, c, h, w)
+        sup_fts = features[:, :S].reshape(B * S, c, h, w)
+        qry_fts = features[:, S:].reshape(B * Q, c, h, w)
+        sup_up = F.interpolate(sup_fts, (H, W), mode="bilinear",
+                               align_corners=True)
+        m = sup_mask.view(B * S, 2, H, W)
+        fg, bg = m.split(1, dim=1)
+        fg_v = (sup_up * fg).sum((2, 3)) / (fg.sum((2, 3)) + 1e-5)
+        bg_v = (sup_up * bg).sum((2, 3)) / (bg.sum((2, 3)) + 1e-5)
+        fg_proto = fg_v.view(B, S, -1).mean(1)
+        bg_proto = bg_v.view(B, S, -1).mean(1)
+        fg_d = F.cosine_similarity(
+            qry_fts, fg_proto[..., None, None], dim=1) * self.dist_scalar
+        bg_d = F.cosine_similarity(
+            qry_fts, bg_proto[..., None, None], dim=1) * self.dist_scalar
+        pred = torch.stack((bg_d, fg_d), dim=1)
+        if out_shape is None:
+            out_shape = (H, W)
+        return F.interpolate(pred, out_shape, mode="bilinear",
+                             align_corners=True)

@@ -319,8 +319,16 @@ class EntryRuntime:
             from pemp_tpu.parallel.step import replicate_state
             state = replicate_state(state, self.mesh)
 
+        # an UNSHARDED train loader (shard_train_loader=False, e.g.
+        # CaNet's serial history pipeline) re-augments every episode on
+        # every host through the python-global ``random`` stream, so its
+        # host batches are NOT byte-equal across processes — replicated
+        # placements (mesh-indivisible bs) must broadcast rank 0's bytes
+        divergent = (not self.shard_train_loader
+                     and jax.process_count() > 1)
         train_step = make_train_step(self.make_loss_fn(), tx, self.mesh,
-                                     compact_wire=cfg.tpu.compact_wire)
+                                     compact_wire=cfg.tpu.compact_wire,
+                                     divergent_hosts=divergent)
         # overlap host->device transfer with compute (double-buffered);
         # tpu.prefetch=0 keeps the serial loader (debugging, A/B timing)
         # EXCEPT for a rank-sharded multi-host loader: only the
@@ -333,7 +341,8 @@ class EntryRuntime:
         # host, which is plain replicated device_put semantics
         train_loader = self._maybe_prefetch(
             train_loader, process_local=self.shard_train_loader,
-            force=jax.process_count() > 1 and self.shard_train_loader)
+            force=jax.process_count() > 1 and self.shard_train_loader,
+            divergent_hosts=divergent)
         trainer = Trainer(cfg, run, state, train_step, lr_policy,
                           steps_per_epoch, self.name)
         trainer.post_step = self.post_step
@@ -423,13 +432,26 @@ class EntryRuntime:
         return load_snapshot_broadcast(cfg, cfg.exp_id, cfg.ckpt,
                                        variables, self.logger)
 
-    def _maybe_prefetch(self, loader, process_local=False, force=False):
+    def _maybe_prefetch(self, loader, process_local=False, force=False,
+                        divergent_hosts=False):
         """Wrap ``loader`` in the DevicePrefetcher (overlap host loading +
         H2D with device compute). ``tpu.prefetch=0`` keeps the serial
         loader (debugging, A/B timing) unless ``force`` — a rank-sharded
         multi-host train loader MUST go through the prefetcher because
         only its ``device_batch(process_local=True)`` path assembles the
-        global batch from per-process shards."""
+        global batch from per-process shards.
+
+        ``divergent_hosts`` (an unsharded multi-host train loader, whose
+        replicated placements must BROADCAST rank 0's bytes — see
+        ``put_global``) forces the serial loader: the broadcast is a
+        collective, and issuing collectives from the prefetcher's
+        background thread would interleave unpredictably with the main
+        thread's collectives (stop-flag allgathers, eval fetches) in a
+        different order on each rank — a world deadlock. The serial path
+        places batches on the main thread in loop order, identical on
+        every rank."""
+        if divergent_hosts:
+            return loader
         if self.cfg.tpu.prefetch <= 0 and not force:
             return loader
         from pemp_tpu.parallel.step import DevicePrefetcher

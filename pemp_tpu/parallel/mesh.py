@@ -187,9 +187,23 @@ def spans_processes(mesh: Mesh) -> bool:
     return any(d.process_index != me for d in mesh.devices.flat)
 
 
-def put_global(v, sharding: NamedSharding):
+def put_global(v, sharding: NamedSharding, *,
+               broadcast_replicated: bool = False):
     """``device_put`` onto a (possibly process-spanning) sharding WITHOUT
     jax's cross-process value-equality check.
+
+    ``broadcast_replicated=True`` declares that the host value may DIFFER
+    across processes (train batches whose augmentation draws from the
+    python-global ``random`` stream — reference parity — with an
+    unsharded loader, i.e. ``shard_train_loader=False``): a replicated
+    put then ships rank 0's bytes to every process first. Stamping
+    per-host-different data as "replicated" would make GSPMD insert no
+    sync at all — every device computes on its own bytes and the
+    "replicated" parameters silently diverge for the rest of the run.
+    Batch-SHARDED puts need no broadcast even with divergent hosts: each
+    global row is owned by exactly one device, so the global array is
+    consistent (each row is that owner host's validly-augmented version
+    of the right episode).
 
     ``jax.device_put`` of a host array onto a sharding that spans every
     process runs ``multihost_utils.assert_equal`` — a full Gloo/ICI
@@ -215,6 +229,11 @@ def put_global(v, sharding: NamedSharding):
         return jax.device_put(v, sharding)
     v = np.asarray(v)
     v = v.astype(jax.dtypes.canonicalize_dtype(v.dtype), copy=False)
+    if broadcast_replicated and sharding.is_fully_replicated:
+        from jax.experimental import multihost_utils
+        v = np.asarray(multihost_utils.broadcast_one_to_all(v))
+        return jax.make_array_from_callback(v.shape, sharding,
+                                            lambda idx: v[idx])
     if os.environ.get("PEMP_VERIFY_GLOBAL_PUTS"):
         import hashlib
         from jax.experimental import multihost_utils

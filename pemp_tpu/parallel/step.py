@@ -47,9 +47,19 @@ UNPACK_DTYPES = {
 
 
 def device_batch(batch: Dict, sharding=None, compact_wire: bool = True,
-                 process_local: bool = False) -> Dict:
+                 process_local: bool = False,
+                 divergent_hosts: bool = False) -> Dict:
     """numpy batch -> device arrays (optionally sharded on episodes).
     Already-on-device arrays pass through untouched.
+
+    ``divergent_hosts=True`` declares that the (non-process-local) host
+    batch may differ byte-wise across processes — train-time augmentation
+    draws from the python-global ``random`` stream, so an UNSHARDED train
+    loader (``shard_train_loader=False``, e.g. CaNet) yields per-host-
+    different pixels for the same episodes. Replicated placements then
+    broadcast rank 0's bytes instead of trusting local ones (see
+    ``put_global``); eval loaders replay an augmentation-free seeded
+    stream and stay on the cheap equality-by-construction path.
 
     ``process_local=True`` declares the host arrays to be THIS process's
     shard of the global batch (rank-sharded loaders): under a multi-host
@@ -104,7 +114,8 @@ def device_batch(batch: Dict, sharding=None, compact_wire: bool = True,
                 # the mesh instead of crashing device_put; the in-model
                 # pallas shard_map gating already handles the compute side
                 s = replicate(s.mesh)
-            out[k] = put_global(v, s) \
+            out[k] = put_global(v, s,
+                                broadcast_replicated=divergent_hosts) \
                 if s is not None else jnp.asarray(v)
         elif isinstance(v, jax.Array):
             out[k] = v
@@ -120,8 +131,10 @@ def unpack_batch(batch: Dict) -> Dict:
 
 def make_train_step(loss_fn: Callable, tx,
                     mesh: Optional[Mesh] = None,
-                    compact_wire: bool = True) -> Callable:
-    """Returns ``step(state, host_batch, lr, rng) -> (state, loss)``."""
+                    compact_wire: bool = True,
+                    divergent_hosts: bool = False) -> Callable:
+    """Returns ``step(state, host_batch, lr, rng) -> (state, loss)``.
+    ``divergent_hosts``: see ``device_batch`` (unsharded train loaders)."""
 
     def _step(state: TrainState, batch, lr, rng):
         batch = unpack_batch(batch)
@@ -139,7 +152,8 @@ def make_train_step(loss_fn: Callable, tx,
     shard = batch_sharding(mesh) if mesh is not None else None
 
     def step(state, host_batch, lr, rng):
-        batch = device_batch(host_batch, shard, compact_wire)
+        batch = device_batch(host_batch, shard, compact_wire,
+                             divergent_hosts=divergent_hosts)
         return jit_step(state, batch, jnp.float32(lr), rng)
 
     # exposed for tooling (tools/bench_train_zoo.py lowers the inner jit

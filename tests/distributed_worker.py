@@ -122,6 +122,23 @@ def main(out_path):
     flat_local = jax.tree_util.tree_leaves(
         jax.tree_util.tree_map(np.asarray, state2.params))
 
+    # ---- phase 3: DIVERGENT replicated put (unsharded multi-host train
+    # loader semantics, e.g. CaNet: augmentation draws from the python-
+    # global ``random`` stream, so each host's batch bytes differ). A
+    # mesh-indivisible batch (B=3 on the 4-device mesh) takes the
+    # replicate fallback; ``divergent_hosts=True`` must ship rank 0's
+    # bytes to every process — stamping per-host-different bytes as
+    # "replicated" would let GSPMD insert no sync and the worlds would
+    # silently diverge for the rest of the run.
+    div = np.random.RandomState(100 + rank).randn(
+        3, 1, HW, HW, 3).astype(np.float32)
+    wire3 = device_batch({"qry_rgb": div}, batch_sharding(mesh),
+                         divergent_hosts=(world > 1))
+    local_view = np.asarray(wire3["qry_rgb"].addressable_shards[0].data)
+    rank0_bytes = np.random.RandomState(100).randn(
+        3, 1, HW, HW, 3).astype(np.float32).astype(np.float16)
+    divergent_put_ok = bool((local_view == rank0_bytes).all())
+
     flat = jax.tree_util.tree_leaves(
         jax.tree_util.tree_map(np.asarray, state.params))
     start, stop = process_episode_range(N_EPISODES)
@@ -137,6 +154,7 @@ def main(out_path):
         "params": [leaf.ravel().tolist() for leaf in flat],
         "losses_local": losses_local,
         "params_local": [leaf.ravel().tolist() for leaf in flat_local],
+        "divergent_put_ok": divergent_put_ok,
     }, open(out_path, "w"))
 
 

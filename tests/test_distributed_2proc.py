@@ -161,6 +161,11 @@ def _check_world(ranks, ref, nprocs, devs_per_proc=2):
     for a, b in zip(r0["params_local"], ref["params_local"]):
         np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
 
+    # phase 3 — divergent replicated put: every rank (each fed different
+    # bytes) must end up computing on rank 0's bytes
+    for r in ranks + [ref]:
+        assert r["divergent_put_ok"] is True, r["rank"]
+
 
 def test_two_process_world_matches_single_process(tmp_path):
     ranks, ref = _run_world(tmp_path, 2)

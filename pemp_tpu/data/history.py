@@ -20,11 +20,17 @@ semantics the reference gets implicitly from forked workers:
    reset to zeros with prob 0.3 when loaded (reference :420-431). The
    reference draws from python's global ``random`` — a stream that
    depends on every other random call's order. Here the draw is a
-   deterministic hash of (seed, epoch, episode index, sample): a pure
-   function of the globally-seeded task stream, identical on every
+   deterministic hash of (seed, train epoch, episode index, sample): a
+   pure function of the globally-seeded task stream, identical on every
    host, loader topology, and thread schedule, with the Bernoulli(0.3)
    marginal per load preserved (SURVEY §7.3 accepts distributional
-   parity for train-time randomness).
+   parity for train-time randomness). The epoch number in the hash is
+   the ADAPTER's resample count, not the shared store's: the store is
+   resampled by train epochs AND eval rounds, so a store-global counter
+   would make the train draw stream depend on how many eval rounds ran
+   — and a resumed run (whose catch-up replays exactly ``start_epoch``
+   train resamples, core/trainer.py) would draw a different reset
+   pattern than the uninterrupted run.
 
 Initial history = zeros [h8, w8, 2]; after every train/eval step the
 query's softmax prediction at 1/8 resolution is written back
@@ -45,7 +51,6 @@ class HistoryStore:
         self.h8 = h8
         self.w8 = w8
         self.seed = int(seed)
-        self.epoch = 0
         self._store: Dict[Tuple[int, str], np.ndarray] = {}
         self._snapshot: Dict[Tuple[int, str], np.ndarray] = {}
         self._lock = threading.Lock()
@@ -54,17 +59,17 @@ class HistoryStore:
         """Start a new epoch / eval round: write-backs made so far
         become visible to reads (the reference's worker re-fork)."""
         with self._lock:
-            self.epoch += 1
             self._snapshot = dict(self._store)
 
-    def get(self, cls: int, name, train: bool, idx: int = 0) -> np.ndarray:
-        """History for one query load; ``idx`` is the episode's index in
-        the epoch's task list (identifies the load event for the reset
-        draw — only consulted when ``train``)."""
+    def get(self, cls: int, name, train: bool, idx: int = 0,
+            epoch: int = 0) -> np.ndarray:
+        """History for one query load; ``(epoch, idx)`` identify the load
+        event for the reset draw (the caller's TRAIN-epoch counter and
+        the episode's index in that epoch's task list) — only consulted
+        when ``train``."""
         key = (int(cls), name)
         with self._lock:
             hist = self._snapshot.get(key)
-            epoch = self.epoch
         if hist is None or (train and self._reset_draw(key, epoch, idx)):
             return np.zeros((self.h8, self.w8, 2), np.float32)
         return hist
@@ -83,7 +88,6 @@ class HistoryStore:
         with self._lock:
             self._store.clear()
             self._snapshot.clear()
-            self.epoch = 0
 
 
 class CaNetDataAdapter:
@@ -95,6 +99,8 @@ class CaNetDataAdapter:
         self.dataset = dataset
         self.store = store
         self.train = train
+        self.epoch = 0      # THIS adapter's resamples only (see module
+        # docstring: the shared store is also resampled by eval rounds)
         # force names through so episodes are keyable
         self.dataset.ret_name = True
 
@@ -105,12 +111,13 @@ class CaNetDataAdapter:
         return len(self.dataset)
 
     def sample_tasks(self):
+        self.epoch += 1
         self.store.next_epoch()
         return self.dataset.sample_tasks()
 
     def get_episode(self, idx: int):
         ep = self.dataset.get_episode(idx)
-        hist = [self.store.get(ep["cls"], n, self.train, idx)
+        hist = [self.store.get(ep["cls"], n, self.train, idx, self.epoch)
                 for n in ep["qry_names"]]
         ep["history"] = np.stack(hist)     # [Q, h8, w8, 2]
         return ep

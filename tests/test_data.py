@@ -153,8 +153,41 @@ def test_history_store():
     assert a == b and any(any(v) for v in a.values())
     # and it varies across epochs for the same (idx, sample)
     s = HistoryStore(5, 5, seed=7)
-    per_epoch = []
-    for _ in range(40):
-        s.next_epoch()
-        per_epoch.append(s._reset_draw((1, "x"), s.epoch, 0))
+    per_epoch = [s._reset_draw((1, "x"), e, 0) for e in range(40)]
     assert any(per_epoch) and not all(per_epoch)
+
+
+def test_history_train_draws_independent_of_eval_rounds():
+    """The TRAIN reset-draw stream is keyed by the train adapter's OWN
+    resample count: interleaved eval rounds (which resample the shared
+    store for snapshot visibility) must not shift it — otherwise a
+    resumed run, whose catch-up replays exactly start_epoch train
+    resamples (core/trainer.py), would draw a different reset pattern
+    than the uninterrupted run."""
+    from pemp_tpu.data.history import CaNetDataAdapter, HistoryStore
+
+    class FakeDS:
+        ret_name = False
+
+        def sample_tasks(self):
+            return None
+
+        def get_episode(self, idx):
+            return {"cls": 1, "qry_names": ["q"]}
+
+    def train_draws(eval_rounds_between):
+        store = HistoryStore(4, 4, seed=7)
+        tr = CaNetDataAdapter(FakeDS(), store, train=True)
+        ev = CaNetDataAdapter(FakeDS(), store, train=False)
+        store.put(1, "q", np.full((4, 4, 2), 0.5, np.float32))
+        out = []
+        for _ in range(6):                      # 6 train epochs
+            tr.sample_tasks()
+            out.extend(bool((tr.get_episode(i)["history"] == 0).all())
+                       for i in range(25))
+            for _ in range(eval_rounds_between):
+                ev.sample_tasks()               # eval rounds resample too
+        return out
+
+    a, b = train_draws(0), train_draws(3)
+    assert a == b and any(a) and not all(a)

@@ -45,6 +45,8 @@ def _progress():
 
 
 def _watchdog():
+    if _WATCHDOG_S <= 0:        # 0 = disabled (conventional timeout-knob
+        return                  # semantics), not a 0-second deadline
     poll_s = min(15.0, max(0.25, _WATCHDOG_S / 4))
     while not _bench_done.wait(timeout=poll_s):
         if time.monotonic() - _last_progress[0] <= _WATCHDOG_S:

@@ -9,33 +9,17 @@ import json
 
 import numpy as np
 import pytest
-from PIL import Image
+
+from tests.fixtures import make_fake_voc
 
 
 @pytest.fixture(scope="module")
 def voc_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("voc_e2e")
-    (root / "JPEGImages").mkdir()
-    rng = np.random.RandomState(7)
-    for subset in ("train", "val"):
-        for cls in range(1, 21):
-            cdir = root / "Binary_map_aug" / subset / str(cls)
-            cdir.mkdir(parents=True)
-            names = []
-            for i in range(3):
-                name = f"{subset}_{cls:02d}_{i}"
-                names.append(name)
-                # varied ORIGINAL sizes: the eval protocol must resize
-                # logits to each query's own GT resolution
-                h, w = 48 + cls + 3 * i, 64 + 2 * i
-                img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
-                Image.fromarray(img).save(
-                    root / "JPEGImages" / f"{name}.jpg")
-                mask = np.zeros((h, w), np.uint8)
-                mask[8:30, 10:44] = 255
-                Image.fromarray(mask).save(cdir / f"{name}.png")
-            (root / "Binary_map_aug" / subset / f"{cls}.txt").write_text(
-                "\n".join(names) + "\n")
+    # varied ORIGINAL sizes: the eval protocol must resize logits to
+    # each query's own GT resolution
+    make_fake_voc(root, seed=7,
+                  size=lambda cls, i: (48 + cls + 3 * i, 64 + 2 * i))
     return root
 
 

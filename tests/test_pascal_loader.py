@@ -4,37 +4,19 @@ variable-size test-GT contract — without the real dataset."""
 
 import numpy as np
 import pytest
-from PIL import Image
 
 from pemp_tpu.config import Config
 from pemp_tpu.data.loader import EpisodeLoader
 from pemp_tpu.data.pascal import PascalVOC
 from pemp_tpu.models import registry
+from tests.fixtures import make_fake_voc
 
 
 @pytest.fixture(scope="module")
 def voc_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("voc")
-    (root / "JPEGImages").mkdir()
-    rng = np.random.RandomState(0)
-    # classes 1-20, 3 samples each, in both train and val subsets
-    for subset in ("train", "val"):
-        for cls in range(1, 21):
-            cdir = root / "Binary_map_aug" / subset / str(cls)
-            cdir.mkdir(parents=True)
-            names = []
-            for i in range(3):
-                name = f"{subset}_{cls:02d}_{i}"
-                names.append(name)
-                h, w = 50 + cls, 70 + i  # varied original sizes
-                img = (rng.rand(h, w, 3) * 255).astype(np.uint8)
-                Image.fromarray(img).save(
-                    root / "JPEGImages" / f"{name}.jpg")
-                mask = np.zeros((h, w), np.uint8)
-                mask[10:30, 15:40] = 255
-                Image.fromarray(mask).save(cdir / f"{name}.png")
-            (root / "Binary_map_aug" / subset / f"{cls}.txt").write_text(
-                "\n".join(names) + "\n")
+    # classes 1-20, 3 samples each, both subsets, varied original sizes
+    make_fake_voc(root, size=lambda cls, i: (50 + cls, 70 + i))
     return root
 
 

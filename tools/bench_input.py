@@ -40,37 +40,12 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).parents[1]))
 
 
-def make_fake_voc(root: Path, per_class: int = 4, classes=range(1, 21),
-                  seed: int = 0) -> None:
-    """PASCAL-shaped tree: natural-image-statistics JPEGs (smooth random
-    fields, not white noise — noise JPEGs decode ~2x slower than photos
-    and would overstate the cost) + blob mask PNGs + class lists."""
-    from PIL import Image
-
-    rng = np.random.RandomState(seed)
-    (root / "JPEGImages").mkdir(parents=True, exist_ok=True)
-    for subset in ("train", "val"):
-        for cls in classes:
-            cdir = root / "Binary_map_aug" / subset / str(cls)
-            cdir.mkdir(parents=True, exist_ok=True)
-            names = []
-            for i in range(per_class):
-                name = f"{subset}_{cls:02d}_{i}"
-                names.append(name)
-                h, w = 375, 500                      # typical PASCAL size
-                # smooth field: low-res noise upsampled -> JPEG entropy
-                # comparable to a photo
-                low = rng.rand(24, 32, 3) * 255
-                img = np.asarray(Image.fromarray(
-                    low.astype(np.uint8)).resize((w, h), Image.BILINEAR))
-                Image.fromarray(img).save(
-                    root / "JPEGImages" / f"{name}.jpg", quality=90)
-                mask = np.zeros((h, w), np.uint8)
-                y, x = rng.randint(40, h - 160), rng.randint(40, w - 200)
-                mask[y:y + 140, x:x + 180] = 255
-                Image.fromarray(mask).save(cdir / f"{name}.png")
-            (root / "Binary_map_aug" / subset / f"{cls}.txt").write_text(
-                "\n".join(names) + "\n")
+def make_fake_voc(root: Path, per_class: int = 4) -> None:
+    """PASCAL-shaped tree at typical PASCAL size (375x500), photo-like
+    JPEG entropy (see tests/fixtures.py — the shared generator)."""
+    from tests.fixtures import make_fake_voc as shared
+    shared(root, per_class=per_class, size=(375, 500), smooth=True,
+           quality=90)
 
 
 def run_pass(ds, bs: int, workers: int):

@@ -122,6 +122,63 @@ def test_weak_scaling_per_device_flops_divide():
         np.testing.assert_allclose(fn, f1 / n, rtol=0.15)
 
 
+def test_weak_scaling_eval_per_device_flops_divide():
+    """Eval-side twin of the train weak-scaling test: the fast-eval
+    program (feature-res forward -> align-corners resize -> argmax ->
+    TP/FP/FN counts, core/experiment.py make_fast_eval_step) also
+    partitions — per-device FLOPs of the compiled SPMD executable
+    divide by the mesh size at a fixed global eval batch. Deployment
+    serving/eval fan-out is the headline multi-chip use (bench.py's
+    protocol), so its scaling story deserves the same compile-time
+    evidence as the train step's."""
+    from pemp_tpu.core.metrics import tp_fp_fn
+    from pemp_tpu.models.common import output_resize
+    from pemp_tpu.models.pemp_stage1 import PEMPStage1
+    from pemp_tpu.parallel.mesh import data_mesh, replicate
+    from pemp_tpu.parallel.step import device_batch
+
+    hw, bs = 33, 8   # fixed GLOBAL eval batch; per-device = 8/n
+    model = PEMPStage1(backbone="vgg16", dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    host_batch = {
+        "sup_rgb": rng.randn(bs, 1, hw, hw, 3).astype(np.float32),
+        "sup_mask": np.concatenate([
+            np.ones((bs, 1, hw, hw, 1), np.float32),
+            np.zeros((bs, 1, hw, hw, 1), np.float32)], axis=-1),
+        "qry_rgb": rng.randn(bs, 1, hw, hw, 3).astype(np.float32),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)},
+        jnp.asarray(host_batch["sup_rgb"][:1]),
+        jnp.asarray(host_batch["sup_mask"][:1]),
+        jnp.asarray(host_batch["qry_rgb"][:1]), out_hw=None)
+
+    def eval_fn(variables, batch):
+        logits = model.apply(
+            variables, batch["sup_rgb"], batch["sup_mask"],
+            batch["qry_rgb"], out_hw=None, train=False)
+        logits = output_resize(logits, (hw, hw))
+        pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        labels = jnp.zeros(pred.shape, jnp.int32)
+        return jax.vmap(jax.vmap(tp_fp_fn))(pred, labels).sum(axis=1)
+
+    def per_device_flops(n):
+        mesh = data_mesh(n) if n > 1 else None
+        v = (jax.device_put(variables, replicate(mesh))
+             if mesh is not None else variables)
+        from pemp_tpu.parallel.mesh import batch_sharding
+        shard = batch_sharding(mesh) if mesh is not None else None
+        dbatch = device_batch(host_batch, shard, compact_wire=False)
+        compiled = jax.jit(eval_fn).lower(v, dbatch).compile()
+        cost = compiled.cost_analysis()
+        return (cost[0] if isinstance(cost, list) else cost)["flops"]
+
+    f1 = per_device_flops(1)
+    for n in (2, 8):
+        fn = per_device_flops(n)
+        np.testing.assert_allclose(fn, f1 / n, rtol=0.15)
+
+
 def test_put_global_single_host_is_device_put():
     from pemp_tpu.parallel.mesh import batch_sharding, data_mesh, put_global
     mesh = data_mesh(8)

@@ -15,10 +15,17 @@ MFU 0.33 as the ceiling we A/B the public XLA:TPU knobs that move it:
   schedule (mainly collectives, but also reorders copies).
 
 Each arm runs in a SUBPROCESS because XLA_FLAGS is parsed once at
-backend initialization; arms that the current libtpu rejects are
+backend initialization; arms that the current backend rejects are
 recorded as errors, not fatal (flag names drift between releases).
 Timing discipline follows bench_train.py (device-resident batch,
 value-fetch window close, best-of-rounds).
+
+NOTE (this dev image): the tunneled PJRT plugin's local flag parser
+rejects libtpu-side --xla_tpu_* flags (docs/DESIGN.md "Train-step
+device profile"), so the non-base arms error here by construction —
+run this on a real TPU VM, where XLA_FLAGS reaches the XLA:TPU
+compiler. The harness records per-arm errors and still reports any
+arms that ran.
 
 Usage:  python tools/exp_xla_flags.py [--bs 4 8] [--budget 90]
 Off-chip smoke: JAX_PLATFORMS=cpu python tools/exp_xla_flags.py --smoke

@@ -55,8 +55,10 @@ CLASS_NAMES = [
 NEW_INDEX = {CV_SPLIT[i][j]: i * 20 + j + 1
              for i in range(4) for j in range(20)}
 
-_image_cache: Dict[int, Image.Image] = {}
-_label_cache: Dict[str, np.ndarray] = {}
+# keyed by (image dir, id): bare ids collide across dataset roots and
+# across the train2014/val2014 subsets
+_image_cache: Dict[tuple, Image.Image] = {}
+_label_cache: Dict[tuple, np.ndarray] = {}
 
 
 def class_name(new_cls: int) -> str:
@@ -148,12 +150,13 @@ class COCO20i:
     # --- IO --------------------------------------------------------------
     def get_image(self, img_id) -> Image.Image:
         img_id = int(img_id)
-        if img_id in _image_cache:
-            return _image_cache[img_id]
+        key = (str(self.img_dir), img_id)
+        if self.cache and key in _image_cache:
+            return _image_cache[key]
         meta = self.coco.loadImgs(img_id)[0]
         img = Image.open(self.img_dir / meta["file_name"]).convert("RGB")
         if self.cache:
-            _image_cache[img_id] = img
+            _image_cache[key] = img
         return img
 
     def _rasterize(self, cls: int, img_id: int) -> np.ndarray:
@@ -171,8 +174,8 @@ class COCO20i:
         cls, img_id = int(cls), int(img_id)
         if new_label:   # contiguous id -> original category id
             cls = CV_SPLIT[(cls - 1) // 20][(cls - 1) % 20]
-        key = f"{cls}_{img_id}"
-        if key in _label_cache:
+        key = (str(self.img_dir), cls, img_id)
+        if self.cache and key in _label_cache:
             return Image.fromarray(_label_cache[key])
         sem = self._rasterize(cls, img_id)
         if self.cache:

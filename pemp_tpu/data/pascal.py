@@ -42,8 +42,10 @@ CLASS_NAMES = [
     ["potted plant", "sheep", "sofa", "train", "tv/monitor"],
 ]
 
-_image_cache: Dict[str, Image.Image] = {}
-_label_cache: Dict[str, Image.Image] = {}
+# keyed by (directory, name): bare names collide across dataset roots
+# (e.g. two miniature trees in one test process) and across subsets
+_image_cache: Dict[tuple, Image.Image] = {}
+_label_cache: Dict[tuple, Image.Image] = {}
 
 
 class PascalVOC:
@@ -99,14 +101,15 @@ class PascalVOC:
     # --- IO -------------------------------------------------------------
     def get_image(self, name: str) -> Image.Image:
         if self.cache:
-            if name not in _image_cache:
-                _image_cache[name] = Image.open(
+            key = (str(self.img_dir), name)
+            if key not in _image_cache:
+                _image_cache[key] = Image.open(
                     self.img_dir / f"{name}.jpg").convert("RGB")
-            return _image_cache[name]
+            return _image_cache[key]
         return Image.open(self.img_dir / f"{name}.jpg").convert("RGB")
 
     def get_label(self, cls: int, name: str) -> Image.Image:
-        key = f"{cls}_{name}"
+        key = (str(self.lab_dir), cls, name)
         if self.cache:
             if key not in _label_cache:
                 img = Image.open(self.lab_dir / str(cls) / f"{name}.png")

@@ -234,7 +234,13 @@ def put_global(v, sharding: NamedSharding, *,
         v = np.asarray(multihost_utils.broadcast_one_to_all(v))
         return jax.make_array_from_callback(v.shape, sharding,
                                             lambda idx: v[idx])
-    if os.environ.get("PEMP_VERIFY_GLOBAL_PUTS"):
+    # the digest check asserts cross-host byte equality, which a
+    # DECLARED-divergent put (broadcast_replicated, e.g. multi-host
+    # CaNet train batches with global-``random`` augmentation) does not
+    # promise for its batch-sharded placements — each global row is
+    # owned by exactly one device, so per-host bytes legitimately differ
+    if os.environ.get("PEMP_VERIFY_GLOBAL_PUTS") \
+            and not broadcast_replicated:
         import hashlib
         from jax.experimental import multihost_utils
         d = hashlib.blake2b(v.tobytes(), digest_size=8).digest()

@@ -2,52 +2,22 @@
 JSON index + native polygon rasterization + file-list generation +
 episodic sampling + augmentation, no pycocotools."""
 
-import json
-from pathlib import Path
-
 import numpy as np
 import pytest
-from PIL import Image
 
 from pemp_tpu.config import Config
 from pemp_tpu.data.coco import CV_SPLIT, NEW_INDEX, COCO20i
 from pemp_tpu.data.loader import EpisodeLoader
 from pemp_tpu.models import registry
+from tests.fixtures import make_fake_coco
 
 
 @pytest.fixture(scope="module")
 def coco_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("coco")
-    (root / "annotations").mkdir()
-    rng = np.random.RandomState(0)
-
     # 4 categories (one per split), 3 images each, 60x80 with a box object
-    cats = [CV_SPLIT[0][0], CV_SPLIT[1][0], CV_SPLIT[2][0], CV_SPLIT[3][0]]
-    for subset in ("train2014", "val2014"):
-        (root / subset).mkdir()
-        images, annotations = [], []
-        ann_id = 1
-        img_id = 1
-        for cat in cats:
-            for _ in range(3):
-                h, w = 60, 80
-                name = f"COCO_{subset}_{img_id:012d}.jpg"
-                arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
-                Image.fromarray(arr).save(root / subset / name)
-                images.append({"id": img_id, "height": h, "width": w,
-                               "file_name": name})
-                x0, y0 = rng.randint(5, 30), rng.randint(5, 20)
-                poly = [x0, y0, x0 + 30, y0, x0 + 30, y0 + 25, x0, y0 + 25]
-                annotations.append({
-                    "id": ann_id, "image_id": img_id, "category_id": cat,
-                    "segmentation": [poly]})
-                ann_id += 1
-                img_id += 1
-        blob = {"images": images, "annotations": annotations,
-                "categories": [{"id": c} for c in cats]}
-        with open(root / "annotations" / f"instances_{subset}.json",
-                  "w") as f:
-            json.dump(blob, f)
+    make_fake_coco(root, cats=[CV_SPLIT[s][0] for s in range(4)],
+                   per_cat=3, size=(60, 80))
     return root
 
 

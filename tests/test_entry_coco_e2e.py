@@ -9,44 +9,21 @@ import json
 
 import numpy as np
 import pytest
-from PIL import Image
 
 from pemp_tpu.data.coco import CV_SPLIT
+from tests.fixtures import make_fake_coco
 
 
 @pytest.fixture(scope="module")
 def coco_root(tmp_path_factory):
     root = tmp_path_factory.mktemp("coco_e2e")
-    (root / "annotations").mkdir()
-    rng = np.random.RandomState(3)
-
     # ALL 80 categories, 2 images each: the entry chain samples freely
     # over the split's full class list (train = 60 cats from the other
-    # 3 splits, val = this split's 20), so every class needs samples
-    cats = [c for s in range(4) for c in CV_SPLIT[s]]
-    for subset in ("train2014", "val2014"):
-        (root / subset).mkdir()
-        images, annotations = [], []
-        ann_id = img_id = 1
-        for cat in cats:
-            for i in range(2):
-                h, w = 56 + 2 * i, 72 + 4 * i     # varied original sizes
-                name = f"COCO_{subset}_{img_id:012d}.jpg"
-                arr = (rng.rand(h, w, 3) * 255).astype(np.uint8)
-                Image.fromarray(arr).save(root / subset / name)
-                images.append({"id": img_id, "height": h, "width": w,
-                               "file_name": name})
-                x0, y0 = rng.randint(5, 25), rng.randint(5, 15)
-                poly = [x0, y0, x0 + 30, y0, x0 + 30, y0 + 25, x0, y0 + 25]
-                annotations.append({
-                    "id": ann_id, "image_id": img_id, "category_id": cat,
-                    "segmentation": [poly]})
-                ann_id += 1
-                img_id += 1
-        blob = {"images": images, "annotations": annotations,
-                "categories": [{"id": c} for c in cats]}
-        (root / "annotations" / f"instances_{subset}.json").write_text(
-            json.dumps(blob))
+    # 3 splits, val = this split's 20), so every class needs samples;
+    # varied original sizes exercise the variable-size test-GT protocol
+    make_fake_coco(root, cats=[c for s in range(4) for c in CV_SPLIT[s]],
+                   per_cat=2, seed=3,
+                   size=lambda cat, i: (56 + 2 * i, 72 + 4 * i))
     return root
 
 

@@ -232,6 +232,14 @@ def test_put_global_verify_flag(monkeypatch):
     with pytest.raises(ValueError, match="differs across processes"):
         mesh_lib.put_global(v, mesh_lib.batch_sharding(mesh))
 
+    # a DECLARED-divergent batch-sharded put skips the digest check:
+    # per-host bytes legitimately differ (each global row has exactly
+    # one owner), so the debug net must not false-positive on the
+    # config it exists to debug (multi-host CaNet train batches)
+    a = mesh_lib.put_global(v, mesh_lib.batch_sharding(mesh),
+                            broadcast_replicated=True)
+    np.testing.assert_array_equal(np.asarray(a), v)
+
 
 def test_process_episode_range():
     from pemp_tpu.parallel.mesh import process_episode_range

@@ -149,7 +149,12 @@ def main():
     # subprocess doesn't cost 30s of rounds on every pytest run. TPU
     # timing is unaffected.
     off_budget = float(os.environ.get("PEMP_BENCH_OFF_TPU_BUDGET_S", "30"))
-    eps = best_of_rounds(timed_round, on_tpu, budget_s=BUDGET_S,
+    # PEMP_BENCH_TPU_BUDGET_S: opportunistic short runs during tunnel
+    # flaps (one healthy round is enough for a faithful best-of number);
+    # the driver's bare invocation keeps the full default budget
+    budget_s = float(os.environ.get("PEMP_BENCH_TPU_BUDGET_S",
+                                    str(BUDGET_S)))
+    eps = best_of_rounds(timed_round, on_tpu, budget_s=budget_s,
                          extend_s=EXTEND_S, slow_launch_s=SLOW_LAUNCH_S,
                          off_tpu_budget_s=off_budget, max_rounds=ROUNDS)
     _bench_done.set()   # disarm the watchdog before the contract line

@@ -23,6 +23,12 @@ from functools import partial
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+# arm BEFORE the jax import: a tunnel outage can wedge the first device
+# touch forever; pemp_tpu.utils.benchtime is jax-free
+from pemp_tpu.utils.benchtime import arm_watchdog
+
+_progress, _disarm = arm_watchdog("bench_train")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -137,6 +143,7 @@ def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240):
         params, batch_stats, opt_state, batch, key)
     float(loss)     # value fetch: block_until_ready alone can return
     #                 early through the tunneled backend (observed)
+    _progress()
 
     best, rates = 0.0, []
     deadline = time.time() + (budget_s if on_tpu else 20)
@@ -147,6 +154,7 @@ def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240):
                 params, batch_stats, opt_state, batch,
                 jax.random.fold_in(key, i))
         float(loss)     # hard host sync closes the timing window
+        _progress()     # a completed round = the link is alive
         dt = time.perf_counter() - tic
         rates.append(round(launches * bs / dt, 2))
         best = max(best, rates[-1])
@@ -177,6 +185,7 @@ def main():
     args = ap.parse_args()
 
     results = [bench_one(False, args), bench_one(True, args)]
+    _disarm()
     for r in results:
         print(json.dumps(r))
     if results[0]["episodes_per_s"]:

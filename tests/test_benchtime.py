@@ -66,3 +66,34 @@ def test_one_fast_round_stops_at_budget(monkeypatch):
                           extend_s=30, slow_launch_s=0.5, max_rounds=1000)
     assert best == 100.0
     assert next(n) == 2         # one healthy round -> stop at the budget
+
+
+def test_arm_watchdog_fires_on_wedge_silent_on_progress(capsys):
+    """The shared bench-tool watchdog (bench_train/bench_zoo arm it
+    before their jax imports) is a NO-PROGRESS bound: a wedge prints the
+    WATCHDOG line once; refreshed progress keeps it silent; 0 disables
+    without arming a 0-second deadline."""
+    import time
+
+    from pemp_tpu.utils.benchtime import arm_watchdog
+
+    # wedge: no progress() within the window -> fires (exit suppressed)
+    progress, disarm = arm_watchdog("t", watchdog_s=0.2, exit_code=None)
+    time.sleep(0.8)
+    assert "WATCHDOG: t" in capsys.readouterr().err
+    disarm()
+
+    # alive: progress refreshes the deadline -> silent
+    progress, disarm = arm_watchdog("u", watchdog_s=0.4, exit_code=None)
+    for _ in range(4):
+        time.sleep(0.15)
+        progress()
+    disarm()
+    time.sleep(0.3)    # let any (wrong) firing land before asserting
+    assert capsys.readouterr().err == ""
+
+    # disabled: 0 must not arm a 0-second deadline
+    progress, disarm = arm_watchdog("v", watchdog_s=0, exit_code=None)
+    time.sleep(0.3)
+    assert capsys.readouterr().err == ""
+    disarm()

@@ -35,10 +35,14 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).parents[1]))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
+# arm BEFORE the jax import (jax-free module): a tunnel outage can
+# wedge the first device touch forever
+from pemp_tpu.utils.benchtime import arm_watchdog, best_of_rounds
+
+_progress, _disarm = arm_watchdog("bench_train_zoo")
+
 import jax
 import jax.numpy as jnp
-
-from pemp_tpu.utils.benchtime import best_of_rounds  # noqa: E402
 
 LAUNCHES = 10
 BUDGET_S = 150
@@ -192,7 +196,7 @@ def bench_row(name, on_tpu, model_dir):
         dt = time.perf_counter() - tic
         return LAUNCHES * bs / dt, dt / LAUNCHES
 
-    eps = best_of_rounds(timed_round, on_tpu, budget_s=BUDGET_S,
+    eps = best_of_rounds(timed_round, on_tpu, budget_s=BUDGET_S, progress=_progress,
                          extend_s=EXTEND_S, off_tpu_budget_s=10)
 
     kind = jax.devices()[0].device_kind

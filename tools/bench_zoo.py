@@ -33,10 +33,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import numpy as np
 
+# arm BEFORE the jax import (jax-free module): a tunnel outage can
+# wedge the first device touch forever
+from pemp_tpu.utils.benchtime import arm_watchdog, best_of_rounds
+
+_progress, _disarm = arm_watchdog("bench_zoo")
+
 import jax
 import jax.numpy as jnp
-
-from pemp_tpu.utils.benchtime import best_of_rounds  # noqa: E402
 
 LAUNCHES = 3
 BUDGET_S = 120
@@ -66,7 +70,7 @@ def bench_fn(fn, batch, on_tpu):
         dt = time.perf_counter() - tic
         return LAUNCHES * batch / dt, dt / LAUNCHES
 
-    return best_of_rounds(timed_round, on_tpu, budget_s=BUDGET_S,
+    return best_of_rounds(timed_round, on_tpu, budget_s=BUDGET_S, progress=_progress,
                           extend_s=EXTEND_S, off_tpu_budget_s=10)
 
 
@@ -247,7 +251,7 @@ def row_latency(on_tpu, dtype):
 
         # shared slow-tunnel heuristic (benchtime): best launches/s
         # inverts back to the best (lowest) wall latency
-        best_rate = best_of_rounds(timed_round, on_tpu, budget_s=60,
+        best_rate = best_of_rounds(timed_round, on_tpu, budget_s=60, progress=_progress,
                                    extend_s=EXTEND_S, off_tpu_budget_s=5)
         best_wall = 1e3 / best_rate
 

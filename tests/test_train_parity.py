@@ -640,3 +640,56 @@ def test_baseline_train_grad_and_stats_parity():
                                     to_numpy_sd(ref), params, stats)
     assert_tree_close(jax.tree_util.tree_map(np.asarray, new_params),
                       want_params, what="baseline-sgd-step")
+
+
+def test_pemp_stage1_5shot_train_grad_parity():
+    """5-shot (S=5) PEMP-s1 gradient parity: the shot-mean inside the
+    meta-prototype extraction (reference pemp_stage1.py:208-211, mean
+    over S AFTER the assignment-weighted average) backpropagates through
+    every support image; the 1-shot tests never exercise that reduction.
+    Closes the S=5 chain torch == jnp (here) == packed Pallas kernels
+    (tests/test_pallas_kernels.py / on-chip suite tie pallas to jnp)."""
+    from pemp_tpu.models.pemp_stage1 import PEMPStage1
+
+    s = 5
+    torch.manual_seed(11)
+    rng = np.random.RandomState(11)
+    ref = tm.TorchPEMPStage1(protos=3)
+    tm.randomize_all_bns(ref, rng)
+    ref.train()
+
+    sup_img = rng.randn(B, s, H, W, 3).astype(np.float64)
+    fg = (rng.rand(B, s, H, W, 1) > 0.5).astype(np.float64)
+    sup_mask = np.concatenate([fg, 1 - fg], -1)
+    qry_img = rng.randn(B, Q, H, W, 3).astype(np.float64)
+    labels = make_labels(rng)
+
+    model = PEMPStage1(backbone="resnet50", protos=3, drop_rate=0.0,
+                       dtype=jnp.float64)
+    params, stats = setup_trees(
+        model, ref, "pemp_stage1", "resnet50",
+        (jnp.asarray(sup_img), jnp.asarray(sup_mask),
+         jnp.asarray(qry_img)), {"out_hw": (H, W)})
+    labels_j = jnp.asarray(labels)
+    labels_t = torch.from_numpy(labels.astype(np.int64))
+
+    def run_loss(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": stats},
+            jnp.asarray(sup_img), jnp.asarray(sup_mask),
+            jnp.asarray(qry_img), out_hw=(H, W), train=True,
+            mutable=["batch_stats"])
+        return loss_lib.cross_entropy(out.reshape(B * Q, H, W, 2),
+                                      labels_j)
+
+    with jax.default_matmul_precision("highest"):
+        loss_ce, grads_ce = jax.value_and_grad(run_loss)(params)
+
+    out_t = ref(nchw(sup_img), nchw(sup_mask), nchw(qry_img))
+    tl_ce = F.cross_entropy(out_t, labels_t, ignore_index=255)
+    tl_ce.backward()
+    np.testing.assert_allclose(float(loss_ce), float(tl_ce.detach()),
+                               rtol=1e-9)
+    want_ce, _ = torch_to_trees("pemp_stage1", "resnet50", grad_sd(ref),
+                                params, stats)
+    assert_tree_close(grads_ce, want_ce, what="5shot-ce-grad")

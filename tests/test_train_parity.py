@@ -693,3 +693,57 @@ def test_pemp_stage1_5shot_train_grad_parity():
     want_ce, _ = torch_to_trees("pemp_stage1", "resnet50", grad_sd(ref),
                                 params, stats)
     assert_tree_close(grads_ce, want_ce, what="5shot-ce-grad")
+
+
+def test_pemp_stage2_5shot_train_grad_parity():
+    """5-shot stage 2 (spq=6): the communication modules pool
+    prior-masked mean+max features over ALL S+Q=6 episode images
+    (reference backbones.py:208-222) — at S=1 that mean couples only 2
+    images, so the 6-image episode coupling and the per-support prior
+    channels were untested in the backward. Every-leaf ce grads at f64."""
+    from pemp_tpu.models.pemp_stage2 import PEMPStage2
+
+    s = 5
+    torch.manual_seed(12)
+    rng = np.random.RandomState(12)
+    ref = tm.TorchPEMPStage2(protos=3, spq=s + Q)
+    tm.randomize_all_bns(ref, rng)
+    ref.train()
+
+    sup_img = rng.randn(B, s, H, W, 3).astype(np.float64)
+    fg = (rng.rand(B, s, H, W, 1) > 0.5).astype(np.float64)
+    sup_mask = np.concatenate([fg, 1 - fg], -1)
+    qry_img = rng.randn(B, Q, H, W, 3).astype(np.float64)
+    qry_prior = (rng.rand(B, Q, H, W) > 0.5).astype(np.float64)
+    labels = make_labels(rng)
+
+    model = PEMPStage2(backbone="resnet50", protos=3, spq=s + Q,
+                       drop_rate=0.0, dtype=jnp.float64)
+    params, stats = setup_trees(
+        model, ref, "pemp_stage2", "resnet50",
+        (jnp.asarray(sup_img), jnp.asarray(sup_mask),
+         jnp.asarray(qry_img), jnp.asarray(qry_prior)),
+        {"out_hw": (H, W)})
+    labels_j = jnp.asarray(labels)
+    labels_t = torch.from_numpy(labels.astype(np.int64))
+
+    def run_loss(p):
+        out, _ = model.apply(
+            {"params": p, "batch_stats": stats},
+            jnp.asarray(sup_img), jnp.asarray(sup_mask),
+            jnp.asarray(qry_img), jnp.asarray(qry_prior),
+            out_hw=(H, W), train=True, mutable=["batch_stats"])
+        return loss_lib.cross_entropy(out.reshape(B * Q, H, W, 2),
+                                      labels_j)
+
+    with jax.default_matmul_precision("highest"):
+        loss, grads = jax.value_and_grad(run_loss)(params)
+
+    out_t = ref(nchw(sup_img), nchw(sup_mask), nchw(qry_img),
+                torch.from_numpy(qry_prior).view(B * Q, 1, H, W))
+    tl = F.cross_entropy(out_t, labels_t, ignore_index=255)
+    tl.backward()
+    np.testing.assert_allclose(float(loss), float(tl.detach()), rtol=1e-9)
+    want, _ = torch_to_trees("pemp_stage2", "resnet50", grad_sd(ref),
+                             params, stats)
+    assert_tree_close(grads, want, what="5shot-ce-grad")

@@ -54,6 +54,12 @@ class DeviceConfig:
     use_pallas: bool = True             # use Pallas kernels for fused hot ops (TPU only)
     compact_wire: bool = True           # f16/uint8 host->device wire format
     #                                     (2.4x less PCIe/tunnel traffic)
+    fuse_steps: int = 1                 # train steps per device launch: >1
+    #                                     runs k steps as ONE jitted
+    #                                     lax.scan over prefetched batches,
+    #                                     amortizing per-launch dispatch
+    #                                     (ignored by runtimes with
+    #                                     per-step host hooks, e.g. CaNet)
 
 
 @dataclass

@@ -339,13 +339,35 @@ class EntryRuntime:
         # the global batch (global = bs * world); an unsharded one
         # (shard_train_loader=False) yields the full value on every
         # host, which is plain replicated device_put semantics
+        # fused launches drain fuse_steps batches per launch: the
+        # prefetch queue must hold a full chunk or the host stalls the
+        # chunk assembly (the default depth=2 would burst-starve it)
         train_loader = self._maybe_prefetch(
             train_loader, process_local=self.shard_train_loader,
             force=jax.process_count() > 1 and self.shard_train_loader,
-            divergent_hosts=divergent)
+            divergent_hosts=divergent,
+            depth=max(cfg.tpu.prefetch, int(cfg.tpu.fuse_steps)))
         trainer = Trainer(cfg, run, state, train_step, lr_policy,
                           steps_per_epoch, self.name)
         trainer.post_step = self.post_step
+        # multi-step fused launches (tpu.fuse_steps > 1): k train steps
+        # per device launch via lax.scan — amortizes per-launch dispatch
+        # (docs/DESIGN.md "Train-step device profile"). Runtimes with a
+        # per-step host hook (CaNet's history write-back) keep the
+        # serial loop: the hook cannot run inside the scan.
+        fuse = int(cfg.tpu.fuse_steps)
+        if fuse > 1:
+            if self.post_step is None:
+                from pemp_tpu.parallel.step import make_train_step_fused
+                trainer.train_step_fused = make_train_step_fused(
+                    self.make_loss_fn(), tx, fuse, self.mesh,
+                    compact_wire=cfg.tpu.compact_wire,
+                    divergent_hosts=divergent)
+                trainer.fuse_steps = fuse
+            else:
+                self.logger.info(
+                    "tpu.fuse_steps ignored: this runtime runs a "
+                    "per-step host hook (post_step)")
         self._variables = None   # bound lazily by eval step
         evaluator = self._make_evaluator("EVAL_ONLINE")
 
@@ -433,7 +455,7 @@ class EntryRuntime:
                                        variables, self.logger)
 
     def _maybe_prefetch(self, loader, process_local=False, force=False,
-                        divergent_hosts=False):
+                        divergent_hosts=False, depth=None):
         """Wrap ``loader`` in the DevicePrefetcher (overlap host loading +
         H2D with device compute). ``tpu.prefetch=0`` keeps the serial
         loader (debugging, A/B timing) unless ``force`` — a rank-sharded
@@ -457,7 +479,8 @@ class EntryRuntime:
         from pemp_tpu.parallel.step import DevicePrefetcher
         shard = (mesh_lib.batch_sharding(self.mesh)
                  if self.mesh is not None else None)
-        return DevicePrefetcher(loader, shard, depth=self.cfg.tpu.prefetch,
+        return DevicePrefetcher(loader, shard,
+                                depth=depth or self.cfg.tpu.prefetch,
                                 compact_wire=self.cfg.tpu.compact_wire,
                                 process_local=process_local)
 

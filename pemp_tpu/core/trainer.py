@@ -249,6 +249,13 @@ class Trainer:
         # optional hook: post_step(aux, batch) after every train step
         # (CaNet's history-mask write-back uses this)
         self.post_step = None
+        # optional multi-step fused launch (parallel/step.py
+        # make_train_step_fused): runs fuse_steps train steps as one
+        # jitted lax.scan program; epoch tails fall back to train_step.
+        # Mutually exclusive with post_step (no per-step host hook can
+        # run inside the scan).
+        self.train_step_fused = None
+        self.fuse_steps = 1
         nd = len(str(cfg.tr.total_epochs))
         self.template = (f"Epoch: {{:{nd}d}}/{{:{nd}d}}"
                          " | LR: {:.2e} | Train {:7.5f} | Val {:7.5f}"
@@ -373,27 +380,37 @@ class Trainer:
                 boundary_lr = self.lr_policy.state_dict()
                 train_ds.sample_tasks()
                 losses = []
+                n_steps = 0
                 step_rng = jax.random.PRNGKey(self.cfg.seed + epoch)
-                for step_i, batch in enumerate(train_loader):
-                    with timer.start():
-                        rng = jax.random.fold_in(step_rng, step_i)
-                        self.state, loss, aux = self.train_step(
-                            self.state, batch, self.lr_policy.lr, rng)
-                        losses.append(loss)
-                        if self.post_step is not None:
-                            self.post_step(aux, batch)
-                    self.step_lr()
-                    # graceful stop: single-process breaks at any step;
-                    # multi-process agrees via a world-OR on a FIXED step
-                    # schedule (the collective is synchronous — polling
-                    # the local flag alone would desync the world)
-                    if world == 1:
-                        self.preempted = stop.requested
-                    elif (step_i + 1) % STOP_SYNC_STEPS == 0:
-                        from pemp_tpu.parallel.mesh import any_process_flag
-                        self.preempted = any_process_flag(stop.requested)
-                    if self.preempted:
-                        break
+                if self.train_step_fused is None:
+                    for step_i, batch in enumerate(train_loader):
+                        with timer.start():
+                            rng = jax.random.fold_in(step_rng, step_i)
+                            self.state, loss, aux = self.train_step(
+                                self.state, batch, self.lr_policy.lr, rng)
+                            losses.append(loss)
+                            if self.post_step is not None:
+                                self.post_step(aux, batch)
+                        n_steps += 1
+                        self.step_lr()
+                        # graceful stop: single-process breaks at any
+                        # step; multi-process agrees via a world-OR on a
+                        # FIXED step schedule (the collective is
+                        # synchronous — polling the local flag alone
+                        # would desync the world)
+                        if world == 1:
+                            self.preempted = stop.requested
+                        elif (step_i + 1) % STOP_SYNC_STEPS == 0:
+                            from pemp_tpu.parallel.mesh import \
+                                any_process_flag
+                            self.preempted = any_process_flag(
+                                stop.requested)
+                        if self.preempted:
+                            break
+                else:
+                    n_steps = self._run_epoch_fused(train_loader, step_rng,
+                                                    losses, timer, stop,
+                                                    world)
 
                 if profiling:
                     jax.profiler.stop_trace()
@@ -420,14 +437,20 @@ class Trainer:
                         "`train with resume=True exp_id=<id>`", C.WARNING))
                     return
 
-                train_loss = float(np.mean(jax.device_get(losses))) \
-                    if losses else 0.0
+                # fused chunks append [k]-vector losses, serial steps
+                # append scalars — flatten before the epoch mean
+                train_loss = float(np.mean(np.concatenate(
+                    [np.atleast_1d(np.asarray(x))
+                     for x in jax.device_get(losses)]))) if losses else 0.0
+                # it/s counts optimizer STEPS for both loop shapes (a
+                # fused timer call covers fuse_steps of them)
+                speed = n_steps / timer.total if timer.total else 0.0
                 self.try_snapshot(epoch)
                 mloss, miou, biou, best = self.evaluation(
                     epoch, evaluator, val_ds, val_loader, num_classes)
                 self.lr_policy.step_epoch(monitor_value=mloss)
                 self.log_result(epoch, train_loss, mloss, miou, biou, best,
-                                timer.cps)
+                                speed)
                 timer.reset()
         finally:
             stop.restore()
@@ -435,6 +458,62 @@ class Trainer:
         # record the reached epoch: a later `resume=True` with a larger
         # total_epochs continues from here instead of restarting at 0
         self.try_snapshot(self.cfg.tr.total_epochs, final=True)
+
+    def _run_epoch_fused(self, train_loader, step_rng, losses, timer,
+                         stop, world) -> int:
+        """One epoch through the fused multi-step launch: full chunks of
+        ``fuse_steps`` batches run as one jitted lax.scan program, the
+        epoch tail (fewer than fuse_steps batches left) runs through the
+        serial ``train_step`` so the fused program compiles exactly once.
+        Per-step LR values are drawn from the live schedule before the
+        launch — the schedule sequence is identical to the serial loop's.
+        Returns the number of optimizer steps taken. Preemption is polled
+        at chunk boundaries (granularity fuse_steps instead of 1): the
+        multi-host world-OR fires whenever the step count crosses a
+        STOP_SYNC_STEPS multiple, which every rank computes identically
+        (equal-length loaders, equal fuse_steps)."""
+        if self.post_step is not None:
+            raise RuntimeError("fused multi-step launches cannot run a "
+                               "per-step host hook (post_step)")
+        n_steps = 0
+        last_sync = 0
+        it = iter(train_loader)
+        while True:
+            chunk = []
+            for _ in range(self.fuse_steps):
+                try:
+                    chunk.append(next(it))
+                except StopIteration:
+                    break
+            if not chunk:
+                break
+            with timer.start():
+                if len(chunk) == self.fuse_steps:
+                    lrs = []
+                    for _ in chunk:
+                        lrs.append(self.lr_policy.lr)
+                        self.step_lr()
+                    self.state, ls = self.train_step_fused(
+                        self.state, chunk, lrs, step_rng, n_steps)
+                    losses.append(ls)
+                else:           # epoch tail: serial single steps
+                    for j, batch in enumerate(chunk):
+                        rng = jax.random.fold_in(step_rng, n_steps + j)
+                        self.state, loss, _aux = self.train_step(
+                            self.state, batch, self.lr_policy.lr, rng)
+                        losses.append(loss)
+                        self.step_lr()
+            n_steps += len(chunk)
+            if world == 1:
+                self.preempted = stop.requested
+            elif (n_steps // STOP_SYNC_STEPS) > (last_sync
+                                                 // STOP_SYNC_STEPS):
+                from pemp_tpu.parallel.mesh import any_process_flag
+                self.preempted = any_process_flag(stop.requested)
+                last_sync = n_steps
+            if self.preempted:
+                break
+        return n_steps
 
     def step_lr(self):
         self.lr_policy.step_step()

@@ -163,6 +163,71 @@ def make_train_step(loss_fn: Callable, tx,
     return step
 
 
+def make_train_step_fused(loss_fn: Callable, tx, fuse_steps: int,
+                          mesh: Optional[Mesh] = None,
+                          compact_wire: bool = True,
+                          divergent_hosts: bool = False) -> Callable:
+    """Multi-step fused launch: ``fused(state, host_batches, lrs, rng,
+    first_idx) -> (state, losses[k])`` runs ``k = len(host_batches) ==
+    fuse_steps`` train steps as ONE jitted ``lax.scan`` program.
+
+    Why: each train step is a separate device launch in the serial loop,
+    and per-launch dispatch/sync costs real wall time (measured 199
+    device vs 170 wall eps/s on the flagship step — docs/DESIGN.md). The
+    reference cannot amortize this (its loop syncs on ``loss.item()``
+    every step, entry/baseline.py:55-62); on TPU the natural fix is to
+    keep k steps device-resident. Numerics are the serial loop's exactly:
+    the scan body is the same ``_step`` graph, per-step LR values arrive
+    as a [k] vector, and the per-step rng is ``fold_in(rng, first_idx+j)``
+    — the identical fold the serial loop applies.
+
+    Constraints: the caller must pass exactly ``fuse_steps`` batches
+    (one compiled program; epoch tails run through the serial step) and
+    the runtime must have no per-step host hook (``post_step``) — aux
+    outputs are not returned from the scan."""
+
+    def _fused(state: TrainState, batches, lrs, rng, first_idx):
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *batches)
+        idx = first_idx + jnp.arange(len(batches), dtype=jnp.int32)
+
+        def body(st, xs):
+            batch, lr, i = xs
+            batch = unpack_batch(batch)
+            step_rng = jax.random.fold_in(rng, i)
+
+            def lf(params):
+                return loss_fn(params, st.batch_stats, batch, step_rng)
+
+            (loss, (new_bs, _aux)), grads = jax.value_and_grad(
+                lf, has_aux=True)(st.params)
+            updates, new_opt = tx.update(grads, st.opt_state, st.params)
+            params = apply_updates(st.params, updates, lr)
+            return TrainState(params, new_bs, new_opt), loss
+
+        state, losses = jax.lax.scan(body, state, (stacked, lrs, idx))
+        return state, losses
+
+    jit_fused = jax.jit(_fused, donate_argnums=(0,))
+    shard = batch_sharding(mesh) if mesh is not None else None
+
+    def fused(state, host_batches, lrs, rng, first_idx):
+        if len(host_batches) != fuse_steps:
+            raise ValueError(
+                f"fused step compiled for {fuse_steps} batches, got "
+                f"{len(host_batches)} — run epoch tails through the "
+                "serial step")
+        dev = tuple(device_batch(b, shard, compact_wire,
+                                 divergent_hosts=divergent_hosts)
+                    for b in host_batches)
+        return jit_fused(state, dev, jnp.asarray(lrs, jnp.float32), rng,
+                         jnp.int32(first_idx))
+
+    fused.jit_step = jit_fused
+    fused.sharding = shard
+    return fused
+
+
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
     rep = replicate(mesh)
     return jax.tree_util.tree_map(lambda x: put_global(x, rep), state)

@@ -1,0 +1,321 @@
+"""Fused multi-step train launches (tpu.fuse_steps) match the serial loop.
+
+``make_train_step_fused`` runs k optimizer steps as ONE jitted lax.scan
+program (amortizing per-launch dispatch — docs/DESIGN.md "Train-step
+device profile"). Coverage here is three-layered, because f32 training is
+chaotic (tests/test_train_parity.py measured ~1e-2 rel divergence from
+1-ulp perturbations over a few steps, so end-to-end param equality after
+a full run proves nothing):
+
+1. step-level numerics: one fused k-launch == k serial steps (losses,
+   params, batch_stats) at f32 tolerance, single-device and on the
+   8-device mesh;
+2. loop bookkeeping: ``Trainer._run_epoch_fused`` feeds the fused step
+   the exact (batches, LR sequence, rng base, step indices) the serial
+   loop would use, including the epoch-tail fallback — pinned with
+   recording mocks, independent of numerics;
+3. end-to-end smoke: real entry runtimes train with fuse_steps (tail
+   included, mesh included); CaNet (per-step host hook) falls back to
+   the serial loop.
+
+Reference counterpart: none (the reference syncs on ``loss.item()``
+every step, entry/baseline.py:55-62, and cannot batch launches at all).
+"""
+
+import importlib
+from types import SimpleNamespace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from pemp_tpu.core.trainer import GracefulStop, Trainer, TrainState
+from pemp_tpu.utils.timer import Timer
+
+HW, BS, K = 33, 2, 3
+
+
+def _mk_batch(i, bs=BS):
+    r = np.random.RandomState(100 + i)
+    fg = (r.rand(bs, 1, HW, HW, 1) > 0.5).astype(np.float32)
+    return {
+        "sup_rgb": r.randn(bs, 1, HW, HW, 3).astype(np.float32),
+        "sup_mask": np.concatenate([fg, 1 - fg], -1).astype(np.float32),
+        "qry_rgb": r.randn(bs, 1, HW, HW, 3).astype(np.float32),
+        "qry_msk": r.randint(0, 2, (bs, 1, HW, HW)).astype(np.int64),
+        "cls": np.full((bs,), 1, np.int64),
+    }
+
+
+def _setup(mesh=None, bs=BS):
+    from pemp_tpu.core import losses as loss_lib
+    from pemp_tpu.models.pemp_stage1 import PEMPStage1
+
+    model = PEMPStage1(backbone="vgg16", dtype=jnp.float32)
+    cfg = SimpleNamespace(loss="cedt", sigma=5.0,
+                          tpu=SimpleNamespace(use_pallas=False))
+    loss_obj = loss_lib.get(cfg, mesh=mesh)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits, mutated = model.apply(
+            variables, batch["sup_rgb"], batch["sup_mask"],
+            batch["qry_rgb"], out_hw=tuple(batch["qry_rgb"].shape[2:4]),
+            train=True, rngs={"dropout": rng}, mutable=["batch_stats"])
+        labels = batch["qry_msk"].reshape(-1, *batch["qry_msk"].shape[-2:])
+        lg = logits.reshape(-1, *logits.shape[-3:])
+        return loss_obj(lg, labels), (mutated["batch_stats"], {})
+
+    b0 = _mk_batch(0, bs)
+    variables = jax.jit(lambda b: model.init(
+        {"params": jax.random.PRNGKey(0)}, b["sup_rgb"][:1],
+        b["sup_mask"][:1], b["qry_rgb"][:1]))(b0)
+    tx = optax.sgd(1.0, momentum=0.9)   # lr applied via apply_updates
+    params = variables["params"]
+    state = TrainState(params, variables.get("batch_stats", {}),
+                       tx.init(params))
+    return loss_fn, tx, state
+
+
+def _clone(state):
+    return jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)), state)
+
+
+def _assert_state_close(a, b):
+    """Params/batch_stats tight; optimizer momentum traces looser. The
+    traces accumulate RAW grad sums, where f32 backward-reassociation
+    noise between the scan-compiled and straight-line programs lands
+    directly (measured ~2.5e-5 abs on the first conv's bias grad — the
+    deepest cancellation chain); params only see them lr-scaled. The
+    strong structural signals are the per-step LOSS sequence at 1e-5
+    (any wrong batch/rng/LR diverges step 2+ losses far beyond that)
+    plus the bookkeeping mock test below."""
+    def check(x, y, rtol, atol):
+        fa = jax.tree_util.tree_flatten_with_path(x)[0]
+        fb = jax.tree_util.tree_flatten_with_path(y)[0]
+        assert len(fa) == len(fb)
+        for (pa, va), (_, vb) in zip(fa, fb):
+            np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                       rtol=rtol, atol=atol,
+                                       err_msg=str(pa))
+
+    check(a.params, b.params, 2e-4, 1e-6)
+    check(a.batch_stats, b.batch_stats, 2e-4, 1e-6)
+    # momentum-trace noise scales with the raw grads (observed up to
+    # ~9e-4 abs across compile-cache states); exact sequencing is pinned
+    # separately by the toy-loss test at 1e-7
+    check(a.opt_state, b.opt_state, 2e-2, 2e-3)
+
+
+def _run_both(mesh=None, bs=BS):
+    from pemp_tpu.parallel.step import (make_train_step,
+                                        make_train_step_fused)
+
+    loss_fn, tx, state0 = _setup(mesh, bs)
+    step = make_train_step(loss_fn, tx, mesh)
+    fused = make_train_step_fused(loss_fn, tx, K, mesh)
+    batches = [_mk_batch(i, bs) for i in range(K)]
+    rng = jax.random.PRNGKey(7)
+    lrs = [1e-3, 9e-4, 8e-4]
+
+    st = _clone(state0)
+    if mesh is not None:
+        from pemp_tpu.parallel.step import replicate_state
+        st = replicate_state(st, mesh)
+    serial_losses = []
+    for j in range(K):
+        st, loss, _aux = step(st, batches[j], lrs[j],
+                              jax.random.fold_in(rng, j))
+        serial_losses.append(float(loss))
+
+    st2 = _clone(state0)
+    if mesh is not None:
+        from pemp_tpu.parallel.step import replicate_state
+        st2 = replicate_state(st2, mesh)
+    st2, fused_losses = fused(st2, batches, lrs, rng, 0)
+    return st, serial_losses, st2, np.asarray(jax.device_get(fused_losses))
+
+
+def test_fused_launch_matches_serial_steps():
+    st, serial_losses, st2, fused_losses = _run_both()
+    np.testing.assert_allclose(serial_losses, fused_losses, rtol=1e-5)
+    _assert_state_close(jax.device_get(st), jax.device_get(st2))
+
+
+def test_fused_launch_matches_serial_steps_under_mesh():
+    from pemp_tpu.parallel.mesh import data_mesh
+    from pemp_tpu.core.trainer import fetch_global
+    mesh = data_mesh(8)
+    st, serial_losses, st2, fused_losses = _run_both(mesh, bs=8)
+    np.testing.assert_allclose(serial_losses, fused_losses, rtol=1e-5)
+    _assert_state_close(jax.tree_util.tree_map(fetch_global, st),
+                        jax.tree_util.tree_map(fetch_global, st2))
+
+
+def test_fused_sequencing_exact_toy_loss():
+    """Bit-level pin of the fused launch's (lr, rng, batch) sequencing
+    with a toy loss free of reassociation noise (the real-model tests
+    above tolerate f32 compile variance, which could mask a subtle
+    plumbing bug like lrs[0] applied to every slice): the grad carries
+    the batch mean AND an rng-drawn term, so any wrong batch order,
+    wrong rng fold, or wrong per-step lr shifts params at O(1e-4) vs
+    the 1e-7 assert."""
+    from pemp_tpu.parallel.step import (make_train_step,
+                                        make_train_step_fused)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        w = params["w"]
+        target = jnp.mean(batch["sup_rgb"])
+        noise = jax.random.uniform(rng, ())
+        loss = jnp.sum((w - target) ** 2) + noise * jnp.sum(w)
+        return loss, (batch_stats, {})
+
+    tx = optax.sgd(1.0, momentum=0.9)
+    params = {"w": jnp.arange(4, dtype=jnp.float32)}
+    state0 = TrainState(params, {}, tx.init(params))
+    step = make_train_step(loss_fn, tx)
+    fused = make_train_step_fused(loss_fn, tx, K)
+    batches = [{"sup_rgb": np.full((2, 1, 4, 4, 3), float(i + 1),
+                                   np.float32)} for i in range(K)]
+    rng = jax.random.PRNGKey(11)
+    lrs = [1e-1, 1e-3, 3e-2]   # well-separated: order errors are loud
+
+    st = _clone(state0)
+    s_losses = []
+    for j in range(K):
+        st, loss, _ = step(st, batches[j], lrs[j],
+                           jax.random.fold_in(rng, j))
+        s_losses.append(float(loss))
+    st2 = _clone(state0)
+    st2, f_losses = fused(st2, batches, lrs, rng, 0)
+
+    np.testing.assert_allclose(s_losses, np.asarray(f_losses), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(st.params["w"]),
+                               np.asarray(st2.params["w"]),
+                               rtol=1e-7, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(st.opt_state[0].trace["w"]),
+                               np.asarray(st2.opt_state[0].trace["w"]),
+                               rtol=1e-7, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Loop bookkeeping: the fused epoch driver must hand the fused step the
+# exact work the serial loop would execute (recording mocks, no numerics).
+# ---------------------------------------------------------------------------
+
+class _PolyLike:
+    """Minimal per-step LR schedule with a distinct value per step."""
+
+    def __init__(self):
+        self.lr = 1.0
+        self.steps = 0
+
+    def step_step(self):
+        self.steps += 1
+        self.lr = 1.0 / (1.0 + self.steps)
+
+    def state_dict(self):
+        return {"steps": self.steps}
+
+
+def _mk_trainer(fuse_steps, tmp_path):
+    cfg = SimpleNamespace(
+        g=SimpleNamespace(model_dir=str(tmp_path)), tag="t",
+        tr=SimpleNamespace(total_epochs=1, ckpt_epoch=0), seed=1)
+    run = SimpleNamespace(_id=None)
+    trainer = Trainer(cfg, run, state=SimpleNamespace(), train_step=None,
+                      lr_policy=_PolyLike(), steps_per_epoch=0,
+                      logger_name="test")
+    trainer.fuse_steps = fuse_steps
+    return trainer
+
+
+def test_fused_epoch_driver_bookkeeping(tmp_path):
+    """8 batches, fuse_steps=3: two fused chunks (lr triplets from the
+    live schedule, first_idx 0 and 3) then a 2-step serial tail with the
+    same rng folds and LR positions the serial loop would reach."""
+    fused_calls, serial_calls = [], []
+
+    trainer = _mk_trainer(3, tmp_path)
+
+    def fake_fused(state, chunk, lrs, rng, first_idx):
+        fused_calls.append((list(chunk), list(lrs), first_idx))
+        return state, np.zeros(len(chunk), np.float32)
+
+    def fake_step(state, batch, lr, rng):
+        serial_calls.append((batch, lr, np.asarray(rng)))
+        return state, np.float32(0.0), {}
+
+    trainer.train_step_fused = fake_fused
+    trainer.train_step = fake_step
+    loader = [f"b{i}" for i in range(8)]
+    losses = []
+    rng = jax.random.PRNGKey(3)
+    n = trainer._run_epoch_fused(loader, rng, losses, Timer(),
+                                 GracefulStop(), world=1)
+    assert n == 8
+    # two full chunks
+    assert [c[0] for c in fused_calls] == [["b0", "b1", "b2"],
+                                           ["b3", "b4", "b5"]]
+    assert fused_calls[0][2] == 0 and fused_calls[1][2] == 3
+    # the LR sequence is the serial loop's: lr before each step, stepped
+    # after — 1, 1/2, 1/3 then 1/4, 1/5, 1/6, tail 1/7, 1/8
+    want = [1.0 / (1 + i) for i in range(8)]
+    got = fused_calls[0][1] + fused_calls[1][1] + \
+        [c[1] for c in serial_calls]
+    np.testing.assert_allclose(got, want)
+    # tail: serial steps with the global step indices' rng folds
+    assert [c[0] for c in serial_calls] == ["b6", "b7"]
+    for j, call in enumerate(serial_calls):
+        np.testing.assert_array_equal(
+            call[2], np.asarray(jax.random.fold_in(rng, 6 + j)))
+    # losses collected per chunk then per tail step
+    assert len(losses) == 4
+    assert trainer.lr_policy.steps == 8
+
+
+def test_fused_epoch_driver_rejects_post_step(tmp_path):
+    trainer = _mk_trainer(2, tmp_path)
+    trainer.train_step_fused = lambda *a: (None, np.zeros(2))
+    trainer.post_step = lambda aux, batch: None
+    with pytest.raises(RuntimeError, match="post_step"):
+        trainer._run_epoch_fused([1, 2], jax.random.PRNGKey(0), [],
+                                 Timer(), GracefulStop(), world=1)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end smoke: real entry runtimes under tpu.fuse_steps.
+# ---------------------------------------------------------------------------
+
+COMMON = {
+    "split": "0", "data.dataset": "SYNTH", "data.height": "33",
+    "data.width": "33", "data.test_n": "2", "te.epochs": "1",
+    "tr.total_epochs": "1", "tr.lrp": "poly",
+}
+
+
+def test_fused_e2e_with_tail_and_mesh(tmp_path):
+    """pemp_stage1 trains end-to-end with fuse_steps=3 over 4 steps
+    (one fused chunk + a 1-step tail) on the 8-device mesh."""
+    mod = importlib.import_module("entry.pemp_stage1")
+    cfg, run = mod.ex.assemble(
+        "train", {**COMMON, "g.model_dir": str(tmp_path),
+                  "net.backbone": "vgg16", "data.bs": "8",
+                  "data.train_n": "32", "tpu.mesh": "8",
+                  "tpu.fuse_steps": "3"})
+    result = mod.Stage1Runtime(cfg, run).train()
+    assert result is not None and "mIoU" in result
+
+
+def test_fused_rejected_with_post_step(tmp_path):
+    """CaNet's per-step history write-back cannot run inside the scan —
+    the runtime must fall back to the serial loop (and still train)."""
+    mod = importlib.import_module("entry.canet")
+    cfg, run = mod.ex.assemble(
+        "train", {**COMMON, "g.model_dir": str(tmp_path),
+                  "data.bs": "2", "data.train_n": "4",
+                  "tpu.fuse_steps": "4", "net.freeze_backbone": "False"})
+    result = mod.CaNetRuntime(cfg, run).train()
+    assert result is not None and "mIoU" in result

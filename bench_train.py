@@ -73,7 +73,7 @@ def build_step(model, loss_obj, lr=1e-3):
     return tx, step
 
 
-def make_bench_setup(args, use_pallas):
+def make_bench_setup(args, use_pallas, fuse=0):
     """PEMP-s1 train-step setup shared by bench_one and
     tools/profile_train (one copy of the synthetic batch, the
     loss-config shim, jit-init and optimizer wiring, so the profiler
@@ -121,15 +121,59 @@ def make_bench_setup(args, use_pallas):
                              b["qry_rgb"][:1]))(batch)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
-    tx, step = build_step(model, loss_obj)
+    if fuse > 1:
+        tx, step = build_fused_step(model, loss_obj, fuse)
+    else:
+        tx, step = build_step(model, loss_obj)
     opt_state = tx.init(params)
     return step, tx, params, batch_stats, opt_state, batch, bs, hw
 
 
-def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240):
+def build_fused_step(model, loss_obj, fuse, lr=1e-3):
+    """k train steps per launch via lax.scan (the production
+    tpu.fuse_steps path, parallel/step.py make_train_step_fused) —
+    measures how much of the per-launch dispatch gap the fused loop
+    recovers (device 199 vs wall 170 eps/s serial, docs/DESIGN.md)."""
+    import optax
+
+    tx = optax.sgd(lr, momentum=0.9)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits, mutated = model.apply(
+            variables, batch["sup_rgb"], batch["sup_mask"], batch["qry_rgb"],
+            out_hw=tuple(batch["qry_rgb"].shape[2:4]), train=True,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        labels = batch["qry_msk"].reshape(-1, *batch["qry_msk"].shape[-2:])
+        logits = logits.reshape(-1, *logits.shape[-3:])
+        return loss_obj(logits, labels), mutated["batch_stats"]
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def fused(params, batch_stats, opt_state, batch, rng):
+        def body(carry, i):
+            params, batch_stats, opt_state = carry
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch_stats, batch,
+                                       jax.random.fold_in(rng, i))
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_bs, opt_state), loss
+
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state),
+            jnp.arange(fuse, dtype=jnp.int32))
+        return params, batch_stats, opt_state, losses[-1]
+
+    return tx, fused
+
+
+def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240,
+              fuse=0):
     on_tpu = jax.devices()[0].platform == "tpu"
     step, tx, params, batch_stats, opt_state, batch, bs, hw = (
-        make_bench_setup(args, use_pallas))
+        make_bench_setup(args, use_pallas, fuse))
+    if fuse > 1:
+        bs = bs * fuse      # episodes per launch
     key = jax.random.PRNGKey(1)
 
     lowered = step.lower(params, batch_stats, opt_state, batch, key)
@@ -138,6 +182,11 @@ def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240):
     if isinstance(cost, list):
         cost = cost[0]
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
+    if fuse > 1:
+        # XLA cost analysis counts the scan body ONCE (measured: the
+        # fused program reports the same flops as one step) — a launch
+        # executes fuse steps
+        flops *= fuse
 
     params, batch_stats, opt_state, loss = step(
         params, batch_stats, opt_state, batch, key)
@@ -166,9 +215,11 @@ def bench_one(use_pallas, args, launches=10, rounds=12, budget_s=240):
     peak = next((v for k, v in PEAK_BF16.items() if k in kind), None)
     mfu = flops / (step_s * peak) if (peak and best) else None
     return {
-        "path": "pallas-vjp" if use_pallas else "jnp",
+        "path": ("pallas-vjp" if use_pallas else "jnp")
+                + (f"+fuse{fuse}" if fuse > 1 else ""),
         "episodes_per_s": round(best, 2),
-        "it_per_s": round(best / bs, 2),
+        # optimizer steps/s (a fused launch is `fuse` steps)
+        "it_per_s": round(best / bs * max(fuse, 1), 2),
         "step_flops": flops,
         "device": kind,
         "mfu": round(mfu, 4) if mfu is not None else None,
@@ -182,9 +233,13 @@ def main():
     ap.add_argument("--hw", type=int, default=401)
     ap.add_argument("--bs", type=int, default=4)
     ap.add_argument("--loss", default="cedt")
+    ap.add_argument("--fuse", type=int, default=0,
+                    help="also bench k fused steps/launch (tpu.fuse_steps)")
     args = ap.parse_args()
 
     results = [bench_one(False, args), bench_one(True, args)]
+    if args.fuse > 1:
+        results.append(bench_one(True, args, fuse=args.fuse))
     _disarm()
     for r in results:
         print(json.dumps(r))
@@ -192,6 +247,11 @@ def main():
         print(json.dumps({
             "pallas_vjp_speedup": round(
                 results[1]["episodes_per_s"] / results[0]["episodes_per_s"],
+                3)}))
+    if args.fuse > 1 and results[1]["episodes_per_s"]:
+        print(json.dumps({
+            "fused_speedup": round(
+                results[2]["episodes_per_s"] / results[1]["episodes_per_s"],
                 3)}))
 
 

@@ -139,7 +139,8 @@ def make_family_setup(name, on_tpu, model_dir):
     from pemp_tpu.core import solver as solver_lib
     from pemp_tpu.core.trainer import TrainState
     from pemp_tpu.data import datasets
-    from pemp_tpu.parallel.step import device_batch, make_train_step
+    from pemp_tpu.parallel.step import (device_batch, make_train_step,
+                                        make_train_step_fused)
 
     family, hw, bs, extra = ROWS[name]
     if not on_tpu:
@@ -162,6 +163,10 @@ def make_family_setup(name, on_tpu, model_dir):
                        opt_state)
     step = make_train_step(runtime.make_loss_fn(), tx, runtime.mesh,
                            compact_wire=cfg.tpu.compact_wire)
+    # the production fused launch (tpu.fuse_steps) for the --fuse arm
+    step.make_fused = lambda k: make_train_step_fused(
+        runtime.make_loss_fn(), tx, k, runtime.mesh,
+        compact_wire=cfg.tpu.compact_wire)
 
     # device-resident batch: the step's own device_batch passes
     # jax.Array values through, so H2D stays out of the timed window
@@ -170,7 +175,7 @@ def make_family_setup(name, on_tpu, model_dir):
             jax.random.PRNGKey(1), bs, hw)
 
 
-def bench_row(name, on_tpu, model_dir):
+def bench_row(name, on_tpu, model_dir, fuse=0):
     step, state, batch, lr, key, bs, hw = make_family_setup(
         name, on_tpu, model_dir)
 
@@ -180,21 +185,42 @@ def bench_row(name, on_tpu, model_dir):
         cost = cost[0]
     flops = float(cost.get("flops", 0.0)) if cost else 0.0
 
-    state, loss, _ = step(state, batch, lr, key)
-    float(loss)     # value fetch (block_until_ready can return early
-    #                 through the tunneled backend; CLAUDE.md)
+    if fuse > 1:
+        # the production fused launch: k steps per program (the batch is
+        # reused k times — device-resident either way, H2D excluded).
+        # flops stays the single-step cost; a launch is `fuse` steps.
+        fused = step.make_fused(fuse)
+        state, ls = fused(state, [batch] * fuse, [float(lr)] * fuse,
+                          key, 0)
+        float(ls[-1])
+        holder = {"state": state}
 
-    holder = {"state": state}
+        def timed_round():
+            tic = time.perf_counter()
+            st = holder["state"]
+            for i in range(LAUNCHES):
+                st, ls = fused(st, [batch] * fuse, [float(lr)] * fuse,
+                               jax.random.fold_in(key, i), 0)
+            holder["state"] = st
+            float(ls[-1])
+            dt = time.perf_counter() - tic
+            return LAUNCHES * fuse * bs / dt, dt / LAUNCHES
+    else:
+        state, loss, _ = step(state, batch, lr, key)
+        float(loss)     # value fetch (block_until_ready can return early
+        #                 through the tunneled backend; CLAUDE.md)
+        holder = {"state": state}
 
-    def timed_round():
-        tic = time.perf_counter()
-        st = holder["state"]
-        for i in range(LAUNCHES):
-            st, loss, _ = step(st, batch, lr, jax.random.fold_in(key, i))
-        holder["state"] = st
-        float(loss)
-        dt = time.perf_counter() - tic
-        return LAUNCHES * bs / dt, dt / LAUNCHES
+        def timed_round():
+            tic = time.perf_counter()
+            st = holder["state"]
+            for i in range(LAUNCHES):
+                st, loss, _ = step(st, batch, lr,
+                                   jax.random.fold_in(key, i))
+            holder["state"] = st
+            float(loss)
+            dt = time.perf_counter() - tic
+            return LAUNCHES * bs / dt, dt / LAUNCHES
 
     eps = best_of_rounds(timed_round, on_tpu, budget_s=BUDGET_S, progress=_progress,
                          extend_s=EXTEND_S, off_tpu_budget_s=10)
@@ -203,6 +229,8 @@ def bench_row(name, on_tpu, model_dir):
     peak = next((v for k, v in PEAK_BF16.items() if k in kind), None)
     mfu = (flops * eps / bs) / peak if (peak and eps) else None
     label = "tuned" if name in TUNED_ROWS else "preset"
+    if fuse > 1:
+        label += f", fuse={fuse}"
     return {
         "metric": f"{name} train step eps/s/chip "
                   f"({hw}x{hw}, bs={bs}, {label})",
@@ -213,14 +241,24 @@ def bench_row(name, on_tpu, model_dir):
 
 
 def main():
-    rows = sys.argv[1:] or list(ROWS)
+    args = sys.argv[1:]
+    fuse = 0
+    if "--fuse" in args:
+        i = args.index("--fuse")
+        try:
+            fuse = int(args[i + 1])
+        except (IndexError, ValueError):
+            sys.exit("--fuse needs an integer (steps per launch)")
+        del args[i:i + 2]
+    rows = args or list(ROWS)
     unknown = [r for r in rows if r not in ROWS]
     if unknown:
         sys.exit(f"unknown row(s) {unknown}; valid: {sorted(ROWS)}")
     on_tpu = jax.devices()[0].platform == "tpu"
     with tempfile.TemporaryDirectory() as model_dir:
         for r in rows:
-            print(json.dumps(bench_row(r, on_tpu, model_dir)), flush=True)
+            print(json.dumps(bench_row(r, on_tpu, model_dir, fuse)),
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,9 @@ Modes:
            checkpoint-bytes broadcast in ``Trainer.maybe_resume``
   stage2   train pemp_stage1, then pemp_stage2 with s1.id=1 — exercises
            the stage-1 snapshot broadcast (``load_snapshot_broadcast``)
+  fused    train with tpu.fuse_steps=2 — the fused lax.scan launch's
+           collectives (gradient all-reduce inside the scan body) must
+           execute identically across a REAL process-spanning mesh
   preempt  train with a long epoch budget while the PARENT SIGTERMs one
            rank mid-run: the world-OR stop consensus must stop EVERY
            rank at the same epoch boundary (train() returns
@@ -85,6 +88,9 @@ def main(out_path, model_dir, bs, entry_name="baseline", mode="train"):
         result = run_train(entry_name, {**overrides, "resume": "True",
                                         "exp_id": "1",
                                         "tr.total_epochs": "3"})
+    elif mode == "fused":
+        result = run_train(entry_name, {**overrides,
+                                        "tpu.fuse_steps": "2"})
     elif mode == "stage2":
         run_train("pemp_stage1", {**overrides, "data.height": "33",
                                   "data.width": "33",

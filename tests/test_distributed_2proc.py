@@ -315,6 +315,34 @@ def test_two_process_resume(tmp_path):
     assert len(stream) == 2, f"expected 2 recorded epochs, got {stream}"
 
 
+def test_two_process_fused_launches(tmp_path):
+    """The fused multi-step launch (tpu.fuse_steps) in a LIVE 2-process
+    world: the scan body's gradient all-reduce is a collective over the
+    process-spanning mesh executed k times inside ONE program, fed by
+    per-launch process-local global-batch assembly of k batches — a
+    mis-sequenced launch would deadlock the world or silently train on
+    divergent state (the 8-virtual-device mesh test cannot catch
+    cross-process failure modes). Asserts both ranks finish and agree
+    exactly, and the trajectory matches a single-process fused run at
+    the global batch size (strided shards -> same episode sets)."""
+    r0, r1 = _spawn_entry_world(tmp_path, "fused", 2, "baseline", "fused")
+    assert r0["world"] == r1["world"] == 2
+    for k in ("loss", "miou", "biou"):
+        assert r0[k] == r1[k], f"{k}: {r0[k]} != {r1[k]}"
+
+    worker = Path(__file__).parent / "distributed_entry_worker.py"
+    single_out = tmp_path / "fused_single.json"
+    single = subprocess.run(
+        [sys.executable, str(worker), str(single_out),
+         str(tmp_path / "fused_single"), "4", "baseline", "fused"],
+        env=_env({}), capture_output=True, text=True, timeout=TIMEOUT_S)
+    assert single.returncode == 0, single.stdout + single.stderr
+    ref = json.load(open(single_out))
+    stream = r0["train_loss"] or r1["train_loss"]
+    np.testing.assert_allclose(stream, ref["train_loss"], rtol=2e-3)
+    np.testing.assert_allclose(r0["miou"], ref["miou"], atol=2.0)
+
+
 def test_two_process_preemption_consensus(tmp_path):
     """LIVE multi-host preemption: SIGTERM is delivered to ONLY rank 1
     mid-training — the world-OR stop consensus (``any_process_flag`` on

@@ -160,6 +160,40 @@ def test_multihost_boundary_catch_without_in_loop_sync(tmp_path, monkeypatch):
     assert epoch == 0                         # epoch 1 replays on resume
 
 
+def test_sigterm_under_fused_launches_stops_at_chunk_boundary(tmp_path):
+    """The fused multi-step loop (tpu.fuse_steps) polls the stop flag at
+    CHUNK boundaries: a SIGTERM landing inside a fused launch lets that
+    launch finish, breaks before the next one, and exits through the
+    same epoch-boundary snapshot the serial loop writes."""
+    trainer, calls = _mk_trainer(tmp_path)
+    fused_calls = {"n": 0}
+
+    def fused(state, chunk, lrs, rng, first_idx):
+        fused_calls["n"] += 1
+        if fused_calls["n"] == 3:    # epoch 2, chunk 1 (2 chunks/epoch)
+            os.kill(os.getpid(), signal.SIGTERM)
+        return state, np.zeros(len(chunk), np.float32)
+
+    trainer.train_step_fused = fused
+    trainer.fuse_steps = 2
+    trainer.start_training_loop(_DS(), _loader(), _Eval(), None, None, 2)
+
+    assert trainer.preempted
+    assert fused_calls["n"] == 3      # broke right after the signal chunk
+    assert calls["n"] == 0            # serial step never ran (no tail)
+    path = trainer.model_dir / "ckpt.msgpack"
+    _, _, epoch, extra = ckpt_lib.load(path, trainer._variables(),
+                                       trainer.state.opt_state)
+    assert epoch == 1                 # last COMPLETED epoch
+    # boundary LR state (4 steps), not the mid-epoch 6-step position
+    boundary = LRPolicy(_TrCfg(), max_steps=12)
+    for _ in range(STEPS_PER_EPOCH):
+        boundary.step_step()
+    restored = LRPolicy(_TrCfg(), max_steps=12)
+    restored.load_state_dict(extra["lr_policy"])
+    assert restored.lr == boundary.lr
+
+
 def test_preempted_result_finishes_run_as_interrupted(tmp_path):
     """cli.run_commandline records a preempted training run with the
     INTERRUPTED status (like ctrl-C), not COMPLETED — run records must

@@ -103,3 +103,38 @@ def test_serving_export_batch_polymorphic(family, backbone):
         # the polymorphic trace may fuse differently from the static
         # jit; require float32-tight agreement rather than bit equality
         np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_serving_export_cascade_roundtrip():
+    """The deployed two-stage PEMP path as ONE artifact (stage-1 ->
+    argmax prior -> stage-2, both weight sets baked in): inputs are
+    stage-1's three arrays, the output is stage-2's refined logits,
+    and the round-tripped artifact must agree with composing the two
+    live models by hand."""
+    from jax import export
+
+    from tools.export_serving import build_cascade_serving_fn
+
+    s1, p1, st1 = build_init_trees("pemp_stage1", "vgg16", shot=1)
+    v1 = {"params": p1, "batch_stats": st1}
+    s2, p2, st2 = build_init_trees("pemp_stage2", "vgg16", shot=1)
+    v2 = {"params": p2, "batch_stats": st2}
+    b, hw = 1, 33
+    serve, specs = build_cascade_serving_fn(s1, v1, s2, v2, b, 1, 1, hw)
+    assert len(specs) == 3
+    restored = export.deserialize(export.export(serve)(*specs).serialize())
+
+    rng = np.random.RandomState(0)
+    inputs = [jnp.asarray(rng.randn(*s.shape).astype(np.float32))
+              for s in specs]
+    fg = (rng.rand(b, 1, hw, hw, 1) > 0.5).astype(np.float32)
+    inputs[1] = jnp.asarray(np.concatenate([fg, 1 - fg], -1))
+
+    # hand-composed live models = the artifact's program
+    lg1 = s1.apply(v1, *inputs, out_hw=(hw, hw), train=False)
+    prior = jnp.argmax(lg1, axis=-1).astype(jnp.float32)
+    want = np.asarray(s2.apply(v2, *inputs, prior, out_hw=(hw, hw),
+                               train=False))
+    got = np.asarray(restored.call(*inputs))
+    assert got.shape == (b, 1, hw, hw, 2)
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

@@ -76,12 +76,44 @@ def build_serving_fn(model_name: str, model, variables, batch, shot,
     return serve, specs
 
 
+def build_cascade_serving_fn(s1_model, v1, s2_model, v2, batch, shot,
+                             query, hw):
+    """The DEPLOYED PEMP path as ONE artifact: frozen stage-1 forward ->
+    on-device argmax prior -> stage-2 forward (reference
+    entry/pemp_stage2.py:58-65). Inputs are stage-1's (no prior input —
+    the artifact derives it), weights of BOTH models baked in; the
+    serving side gets the headline two-stage prediction from a single
+    call instead of orchestrating two artifacts plus an argmax."""
+    import jax
+    import jax.numpy as jnp
+
+    specs = [
+        jax.ShapeDtypeStruct((batch, shot, hw, hw, 3), jnp.float32),
+        jax.ShapeDtypeStruct((batch, shot, hw, hw, 2), jnp.float32),
+        jax.ShapeDtypeStruct((batch, query, hw, hw, 3), jnp.float32),
+    ]
+
+    @jax.jit
+    def serve(sup_rgb, sup_mask, qry_rgb):
+        lg1 = s1_model.apply(v1, sup_rgb, sup_mask, qry_rgb,
+                             out_hw=(hw, hw), train=False)
+        prior = jnp.argmax(lg1, axis=-1).astype(jnp.float32)  # [B,Q,H,W]
+        return s2_model.apply(v2, sup_rgb, sup_mask, qry_rgb, prior,
+                              out_hw=(hw, hw), train=False)
+
+    return serve, specs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", required=True,
                     choices=["baseline", "pemp_stage1", "pemp_stage2",
-                             "panet", "canet", "rpmms", "pfenet"])
+                             "panet", "canet", "rpmms", "pfenet",
+                             "cascade"])
     ap.add_argument("--backbone", default="resnet50")
+    ap.add_argument("--s1-ckpt", default="",
+                    help="stage-1 checkpoint for --model cascade "
+                         "(--ckpt is then the stage-2 checkpoint)")
     ap.add_argument("--ckpt", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--batch", default="8",
@@ -98,18 +130,32 @@ def main():
     from pemp_tpu.core import checkpoint as ckpt_lib
     from tools.convert_reference_ckpt import build_init_trees
 
-    model, params, stats = build_init_trees(args.model, args.backbone,
-                                            args.shot)
-    variables = ckpt_lib.load_variables(
-        Path(args.ckpt), {"params": params, "batch_stats": stats})
-
     if args.batch in ("poly", "sym"):
         batch, = export.symbolic_shape("b")
     else:
         batch = int(args.batch)
-    serve, specs = build_serving_fn(args.model, model, variables,
-                                    batch, args.shot, args.query,
-                                    args.hw)
+
+    if args.model == "cascade":
+        if not args.s1_ckpt:
+            ap.error("--model cascade needs --s1-ckpt (stage-1 weights)")
+        s1, p1, st1 = build_init_trees("pemp_stage1", args.backbone,
+                                       args.shot)
+        v1 = ckpt_lib.load_variables(
+            Path(args.s1_ckpt), {"params": p1, "batch_stats": st1})
+        s2, p2, st2 = build_init_trees("pemp_stage2", args.backbone,
+                                       args.shot)
+        v2 = ckpt_lib.load_variables(
+            Path(args.ckpt), {"params": p2, "batch_stats": st2})
+        serve, specs = build_cascade_serving_fn(
+            s1, v1, s2, v2, batch, args.shot, args.query, args.hw)
+    else:
+        model, params, stats = build_init_trees(args.model, args.backbone,
+                                                args.shot)
+        variables = ckpt_lib.load_variables(
+            Path(args.ckpt), {"params": params, "batch_stats": stats})
+        serve, specs = build_serving_fn(args.model, model, variables,
+                                        batch, args.shot, args.query,
+                                        args.hw)
     kwargs = {}
     if args.platforms:
         kwargs["platforms"] = tuple(args.platforms.split(","))

@@ -18,10 +18,19 @@ case "$DEVICE" in
 esac
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
 
+# TPU production default: 8 fused train steps per device launch
+# (tpu.fuse_steps, docs/DESIGN.md); explicit k=v overrides still win
+# because later duplicates override earlier ones in the CLI grammar.
+if [[ "$DEVICE" == tpu ]]; then
+  FUSE="tpu.fuse_steps=8"
+else
+  FUSE=""
+fi
+
 ARGS=' with
   tag=panet split=0
   tr.total_epochs=3 tr.lr_step=1 tr.lr=0.001 data.train_n=10000 data.bs=1
-  '$@
+  '$FUSE' '$@
 
 if [[ "$COMMAND" == "help" ]]; then
   ARGS=""

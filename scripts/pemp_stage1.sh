@@ -18,10 +18,19 @@ case "$DEVICE" in
 esac
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
 
+# TPU production default: 8 fused train steps per device launch
+# (tpu.fuse_steps, docs/DESIGN.md); explicit k=v overrides still win
+# because later duplicates override earlier ones in the CLI grammar.
+if [[ "$DEVICE" == tpu ]]; then
+  FUSE="tpu.fuse_steps=8"
+else
+  FUSE=""
+fi
+
 ARGS=' with
   tag=pemp_stage1 split=0
   loss=cedt tr.total_epochs=90 net.backbone=resnet50
-  '$@
+  '$FUSE' '$@
 
 if [[ "$COMMAND" == "help" ]]; then
   ARGS=""

@@ -18,10 +18,19 @@ case "$DEVICE" in
 esac
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
 
+# TPU production default: 8 fused train steps per device launch
+# (tpu.fuse_steps, docs/DESIGN.md); explicit k=v overrides still win
+# because later duplicates override earlier ones in the CLI grammar.
+if [[ "$DEVICE" == tpu ]]; then
+  FUSE="tpu.fuse_steps=8"
+else
+  FUSE=""
+fi
+
 ARGS=' with
   tag=rpmms split=0
   tr.total_epochs=200 tr.lr=0.0035 data.height=481 data.width=481
-  '$@
+  '$FUSE' '$@
 
 if [[ "$COMMAND" == "help" ]]; then
   ARGS=""

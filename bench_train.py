@@ -24,10 +24,16 @@ from functools import partial
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 # arm BEFORE the jax import: a tunnel outage can wedge the first device
-# touch forever; pemp_tpu.utils.benchtime is jax-free
+# touch forever; pemp_tpu.utils.benchtime is jax-free. Only when run as
+# the benchmark itself — importers (tools/profile_train.py,
+# tools/exp_xla_flags.py) never call _progress, and an armed
+# never-refreshed watchdog would os._exit their healthy runs mid-trace.
 from pemp_tpu.utils.benchtime import arm_watchdog
 
-_progress, _disarm = arm_watchdog("bench_train")
+if __name__ == "__main__":
+    _progress, _disarm = arm_watchdog("bench_train")
+else:
+    _progress = _disarm = lambda: None
 
 import jax
 import jax.numpy as jnp
@@ -44,10 +50,9 @@ PEAK_BF16 = {
 }
 
 
-def build_step(model, loss_obj, lr=1e-3):
-    import optax
-
-    tx = optax.sgd(lr, momentum=0.9)
+def _bench_loss_fn(model, loss_obj):
+    """One loss closure for BOTH the serial and fused arms — a drift
+    between them would make fused_speedup compare different programs."""
 
     def loss_fn(params, batch_stats, batch, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -58,6 +63,15 @@ def build_step(model, loss_obj, lr=1e-3):
         labels = batch["qry_msk"].reshape(-1, *batch["qry_msk"].shape[-2:])
         logits = logits.reshape(-1, *logits.shape[-3:])
         return loss_obj(logits, labels), mutated["batch_stats"]
+
+    return loss_fn
+
+
+def build_step(model, loss_obj, lr=1e-3):
+    import optax
+
+    tx = optax.sgd(lr, momentum=0.9)
+    loss_fn = _bench_loss_fn(model, loss_obj)
 
     # donate like the production step (parallel/step.py donates the whole
     # state tuple): without donation XLA emits copy fusions for every
@@ -137,16 +151,7 @@ def build_fused_step(model, loss_obj, fuse, lr=1e-3):
     import optax
 
     tx = optax.sgd(lr, momentum=0.9)
-
-    def loss_fn(params, batch_stats, batch, rng):
-        variables = {"params": params, "batch_stats": batch_stats}
-        logits, mutated = model.apply(
-            variables, batch["sup_rgb"], batch["sup_mask"], batch["qry_rgb"],
-            out_hw=tuple(batch["qry_rgb"].shape[2:4]), train=True,
-            rngs={"dropout": rng}, mutable=["batch_stats"])
-        labels = batch["qry_msk"].reshape(-1, *batch["qry_msk"].shape[-2:])
-        logits = logits.reshape(-1, *logits.shape[-3:])
-        return loss_obj(logits, labels), mutated["batch_stats"]
+    loss_fn = _bench_loss_fn(model, loss_obj)
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
     def fused(params, batch_stats, opt_state, batch, rng):

@@ -339,6 +339,20 @@ class EntryRuntime:
         # the global batch (global = bs * world); an unsharded one
         # (shard_train_loader=False) yields the full value on every
         # host, which is plain replicated device_put semantics
+        # multi-step fused launches (tpu.fuse_steps > 1): k train steps
+        # per device launch via lax.scan — amortizes per-launch dispatch
+        # (docs/DESIGN.md "Train-step device profile"). Runtimes with a
+        # per-step host hook (CaNet's history write-back) keep the
+        # serial loop: the hook cannot run inside the scan. Resolve the
+        # EFFECTIVE fuse before sizing the prefetch queue — a runtime
+        # that ignores the flag must not pin fuse_steps batches in HBM
+        # for a loop that consumes one at a time.
+        fuse = int(cfg.tpu.fuse_steps)
+        if fuse > 1 and self.post_step is not None:
+            self.logger.info(
+                "tpu.fuse_steps ignored: this runtime runs a "
+                "per-step host hook (post_step)")
+            fuse = 1
         # fused launches drain fuse_steps batches per launch: the
         # prefetch queue must hold a full chunk or the host stalls the
         # chunk assembly (the default depth=2 would burst-starve it)
@@ -346,28 +360,17 @@ class EntryRuntime:
             train_loader, process_local=self.shard_train_loader,
             force=jax.process_count() > 1 and self.shard_train_loader,
             divergent_hosts=divergent,
-            depth=max(cfg.tpu.prefetch, int(cfg.tpu.fuse_steps)))
+            depth=max(cfg.tpu.prefetch, fuse))
         trainer = Trainer(cfg, run, state, train_step, lr_policy,
                           steps_per_epoch, self.name)
         trainer.post_step = self.post_step
-        # multi-step fused launches (tpu.fuse_steps > 1): k train steps
-        # per device launch via lax.scan — amortizes per-launch dispatch
-        # (docs/DESIGN.md "Train-step device profile"). Runtimes with a
-        # per-step host hook (CaNet's history write-back) keep the
-        # serial loop: the hook cannot run inside the scan.
-        fuse = int(cfg.tpu.fuse_steps)
         if fuse > 1:
-            if self.post_step is None:
-                from pemp_tpu.parallel.step import make_train_step_fused
-                trainer.train_step_fused = make_train_step_fused(
-                    self.make_loss_fn(), tx, fuse, self.mesh,
-                    compact_wire=cfg.tpu.compact_wire,
-                    divergent_hosts=divergent)
-                trainer.fuse_steps = fuse
-            else:
-                self.logger.info(
-                    "tpu.fuse_steps ignored: this runtime runs a "
-                    "per-step host hook (post_step)")
+            from pemp_tpu.parallel.step import make_train_step_fused
+            trainer.train_step_fused = make_train_step_fused(
+                self.make_loss_fn(), tx, fuse, self.mesh,
+                compact_wire=cfg.tpu.compact_wire,
+                divergent_hosts=divergent)
+            trainer.fuse_steps = fuse
         self._variables = None   # bound lazily by eval step
         evaluator = self._make_evaluator("EVAL_ONLINE")
 

@@ -83,10 +83,12 @@ def test_arm_watchdog_fires_on_wedge_silent_on_progress(capsys):
     assert "WATCHDOG: t" in capsys.readouterr().err
     disarm()
 
-    # alive: progress refreshes the deadline -> silent
-    progress, disarm = arm_watchdog("u", watchdog_s=0.4, exit_code=None)
+    # alive: progress refreshes the deadline -> silent. The window is
+    # 10x the progress cadence: a sleep() overshooting by even a full
+    # second on a loaded box must not let the monitor see a false gap.
+    progress, disarm = arm_watchdog("u", watchdog_s=2.0, exit_code=None)
     for _ in range(4):
-        time.sleep(0.15)
+        time.sleep(0.2)
         progress()
     disarm()
     time.sleep(0.3)    # let any (wrong) firing land before asserting

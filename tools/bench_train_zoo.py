@@ -36,10 +36,15 @@ sys.path.insert(0, str(Path(__file__).parents[1]))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 # arm BEFORE the jax import (jax-free module): a tunnel outage can
-# wedge the first device touch forever
+# wedge the first device touch forever. Only when run as the benchmark
+# itself — importers (tools/profile_train.py) never call _progress, and
+# an armed never-refreshed watchdog would os._exit their healthy runs.
 from pemp_tpu.utils.benchtime import arm_watchdog, best_of_rounds
 
-_progress, _disarm = arm_watchdog("bench_train_zoo")
+if __name__ == "__main__":
+    _progress, _disarm = arm_watchdog("bench_train_zoo")
+else:
+    _progress = _disarm = lambda: None
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,10 @@ import numpy as np
 # wedge the first device touch forever
 from pemp_tpu.utils.benchtime import arm_watchdog, best_of_rounds
 
-_progress, _disarm = arm_watchdog("bench_zoo")
+if __name__ == "__main__":
+    _progress, _disarm = arm_watchdog("bench_zoo")
+else:
+    _progress = _disarm = lambda: None
 
 import jax
 import jax.numpy as jnp

@@ -21,10 +21,91 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import json
 import os
+import subprocess
+import sys
 import threading
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
+
+# ---------------------------------------------------------------------
+# Supervisor: a wedged tunnel link wedges the IN-PROCESS jax runtime for
+# good — a hung launch RPC never returns even after the relay heals, so
+# a single-process bench that hits an outage can only ever emit the
+# WATCHDOG zero line, even when the outage ends minutes later. The fix:
+# the top-level invocation (the driver's bare `python bench.py`) acts as
+# a jax-free supervisor that runs the measurement in a CHILD process.
+# If the child's no-progress watchdog fires (exit 3), a FRESH child —
+# fresh runtime, fresh tunnel connection — retries until the supervisor
+# budget (PEMP_BENCH_SUPERVISOR_TOTAL_S, default 2700s) runs out, and
+# only then is the child's watchdog zero line relayed. Worst case is
+# time-equivalent to the old single 2700s watchdog; any recovery inside
+# the budget now yields a real measurement. The one-JSON-line stdout
+# contract is preserved: failed attempts' lines are dropped, exactly one
+# child's stdout is relayed.
+# ---------------------------------------------------------------------
+_CHILD_WATCHDOG_S = 900.0       # per-attempt no-progress bound
+
+
+def _supervisor_enabled() -> bool:
+    if os.environ.get("PEMP_BENCH_CHILD"):
+        return False            # we ARE the measurement child
+    if os.environ.get("PEMP_BENCH_SUPERVISE", "1").lower() in ("0", "false"):
+        return False
+    # the watchdog-contract test hook simulates a permanent wedge to pin
+    # the single-process watchdog behavior — don't retry around it
+    if float(os.environ.get("PEMP_BENCH_FAKE_WEDGE_S", "0") or 0):
+        return False
+    return True
+
+
+def _run_supervised() -> int:
+    import signal
+
+    total_s = float(os.environ.get("PEMP_BENCH_SUPERVISOR_TOTAL_S", "2700"))
+    t0 = time.monotonic()
+    live = [None]       # the current child, for signal forwarding
+
+    # killing the supervisor must never orphan a measurement child (a
+    # wedged child ignores the pipe closing and would keep a core busy)
+    def _forward(signum, _frame):
+        if live[0] is not None:
+            try:
+                live[0].kill()
+            except OSError:
+                pass
+        os._exit(128 + signum)
+
+    signal.signal(signal.SIGTERM, _forward)
+    signal.signal(signal.SIGINT, _forward)
+
+    attempt = 0
+    while True:
+        attempt += 1
+        env = dict(os.environ, PEMP_BENCH_CHILD="1")
+        # explicit user watchdog settings win; otherwise each attempt
+        # gets the shorter per-child bound so retries fit the budget
+        env.setdefault("PEMP_BENCH_WATCHDOG_S", str(_CHILD_WATCHDOG_S))
+        live[0] = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            stdout=subprocess.PIPE, text=True)   # stderr passes through
+        out, _ = live[0].communicate()
+        code = live[0].returncode
+        live[0] = None
+        wedged = code == 3 and "WATCHDOG" in out
+        remaining = total_s - (time.monotonic() - t0)
+        if wedged and remaining > 60.0:
+            print(f"[bench supervisor] attempt {attempt} wedged; "
+                  f"retrying in a fresh process ({remaining:.0f}s budget "
+                  "left)", file=sys.stderr, flush=True)
+            continue
+        sys.stdout.write(out)
+        sys.stdout.flush()
+        return code
+
+
+if __name__ == "__main__" and _supervisor_enabled():
+    sys.exit(_run_supervised())
 
 # Watchdog BEFORE the jax import: during a tunnel outage even `import
 # jax` can hang (the axon sitecustomize registration blocks on the
@@ -91,6 +172,14 @@ def main():
     fake_wedge = float(os.environ.get("PEMP_BENCH_FAKE_WEDGE_S", "0"))
     if fake_wedge:
         time.sleep(fake_wedge)
+    # test hook for the SUPERVISOR retry path: the first child to see
+    # this marker path wedges (creating the marker); retries run clean —
+    # a one-shot outage the supervisor must recover from
+    wedge_once = os.environ.get("PEMP_BENCH_FAKE_WEDGE_ONCE_FILE", "")
+    if wedge_once and not os.path.exists(wedge_once):
+        with open(wedge_once, "w") as f:
+            f.write("wedged")
+        time.sleep(3600)
 
     from pemp_tpu.models.pemp_stage1 import PEMPStage1
     from pemp_tpu.core.metrics import tp_fp_fn

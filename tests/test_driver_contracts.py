@@ -67,3 +67,55 @@ def test_bench_watchdog_fires_on_wedge_and_stays_silent_on_progress():
     assert len(lines) == 1, f"expected ONE JSON line, got: {out.stdout!r}"
     doc = json.loads(lines[0])
     assert "WATCHDOG" in doc["metric"] and doc["value"] == 0.0
+
+
+def test_bench_supervisor_recovers_from_one_shot_wedge(tmp_path):
+    """A wedged launch wedges the in-process jax runtime permanently, so
+    the supervisor retries the measurement in a FRESH child process: the
+    first child wedges (watchdog exit 3), the retry measures for real,
+    and stdout still carries exactly ONE JSON line — the healthy one."""
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env.update({"JAX_PLATFORMS": "cpu",
+                "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+                "PEMP_BENCH_WATCHDOG_S": "1",
+                "PEMP_BENCH_OFF_TPU_BUDGET_S": "1",
+                "PEMP_BENCH_FAKE_WEDGE_ONCE_FILE": str(tmp_path / "wedge")})
+    # Popen + killpg rather than subprocess.run: on timeout, run() would
+    # SIGKILL only the supervisor and orphan its measurement child (a
+    # real leak observed on a heavily loaded host)
+    proc = subprocess.Popen(
+        [sys.executable, str(ROOT / "bench.py")], env=env,
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        start_new_session=True)
+    try:
+        stdout, stderr = proc.communicate(timeout=2400)
+    finally:
+        if proc.poll() is None:
+            os.killpg(proc.pid, 9)
+    assert proc.returncode == 0, (proc.returncode, stdout, stderr[-2000:])
+    assert "attempt 1 wedged" in stderr
+    lines = [ln for ln in stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE JSON line, got: {stdout!r}"
+    doc = json.loads(lines[0])
+    assert "WATCHDOG" not in doc["metric"] and doc["value"] > 0
+
+
+def test_bench_supervisor_budget_exhausted_relays_watchdog_line(tmp_path):
+    """With no retry budget left, the supervisor relays the child's
+    watchdog zero line and exit code — the old dead-link contract."""
+    env = {k: v for k, v in os.environ.items()
+           if k != "PALLAS_AXON_POOL_IPS"}
+    env.update({"JAX_PLATFORMS": "cpu",
+                "JAX_COMPILATION_CACHE_DIR": "/tmp/jax_cache",
+                "PEMP_BENCH_WATCHDOG_S": "1",
+                "PEMP_BENCH_SUPERVISOR_TOTAL_S": "0",
+                "PEMP_BENCH_FAKE_WEDGE_ONCE_FILE": str(tmp_path / "wedge")})
+    out = subprocess.run(
+        [sys.executable, str(ROOT / "bench.py")], env=env,
+        capture_output=True, text=True, timeout=120)
+    assert out.returncode == 3, (out.returncode, out.stdout, out.stderr[-500:])
+    lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"expected ONE JSON line, got: {out.stdout!r}"
+    doc = json.loads(lines[0])
+    assert "WATCHDOG" in doc["metric"] and doc["value"] == 0.0

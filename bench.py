@@ -59,6 +59,23 @@ def _supervisor_enabled() -> bool:
     return True
 
 
+def _usable_json_line(out: str) -> bool:
+    """Does the child's stdout carry a parseable contract line?"""
+    for ln in out.strip().splitlines():
+        try:
+            doc = json.loads(ln)
+        except ValueError:
+            continue
+        if isinstance(doc, dict) and "value" in doc and "metric" in doc:
+            return True
+    return False
+
+
+_MAX_CRASH_RETRIES = 2  # crashes are usually deterministic bugs, not
+#                         outages — bound them so a broken build fails in
+#                         seconds, not after the full supervisor budget
+
+
 def _run_supervised() -> int:
     import signal
 
@@ -80,25 +97,62 @@ def _run_supervised() -> int:
     signal.signal(signal.SIGINT, _forward)
 
     attempt = 0
+    crash_retries = 0
+    last_out, last_code = "", 3
     while True:
         attempt += 1
+        remaining = total_s - (time.monotonic() - t0)
         env = dict(os.environ, PEMP_BENCH_CHILD="1")
-        # explicit user watchdog settings win; otherwise each attempt
-        # gets the shorter per-child bound so retries fit the budget
-        env.setdefault("PEMP_BENCH_WATCHDOG_S", str(_CHILD_WATCHDOG_S))
+        # explicit user watchdog settings win; otherwise each attempt's
+        # watchdog is capped at the remaining budget so the worst-case
+        # supervisor wall time stays ~total_s (not total_s + a full
+        # child watchdog), while never dropping below a bound a healthy
+        # cold start (imports + compile) can satisfy
+        if "PEMP_BENCH_WATCHDOG_S" not in os.environ:
+            env["PEMP_BENCH_WATCHDOG_S"] = str(
+                min(_CHILD_WATCHDOG_S, max(120.0, remaining)))
         live[0] = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)], env=env,
             stdout=subprocess.PIPE, text=True)   # stderr passes through
         out, _ = live[0].communicate()
         code = live[0].returncode
         live[0] = None
+        usable = _usable_json_line(out)
         wedged = code == 3 and "WATCHDOG" in out
+        # a child that dies without a contract line (segfault / OOM /
+        # killed) is as contract-breaking as a wedge — retry it too,
+        # but bounded (see _MAX_CRASH_RETRIES)
+        crashed = code != 0 and not usable and not wedged
         remaining = total_s - (time.monotonic() - t0)
         if wedged and remaining > 60.0:
             print(f"[bench supervisor] attempt {attempt} wedged; "
                   f"retrying in a fresh process ({remaining:.0f}s budget "
                   "left)", file=sys.stderr, flush=True)
+            last_out, last_code = out, code
             continue
+        if crashed and remaining > 60.0 and crash_retries < _MAX_CRASH_RETRIES:
+            crash_retries += 1
+            print(f"[bench supervisor] attempt {attempt} died rc={code} "
+                  "with no contract line; retrying "
+                  f"({crash_retries}/{_MAX_CRASH_RETRIES})",
+                  file=sys.stderr, flush=True)
+            last_out, last_code = out, code
+            continue
+        if not usable and not wedged:
+            # budget/retries exhausted with nothing relayable: the
+            # supervisor itself honors the one-JSON-line contract
+            if _usable_json_line(last_out):
+                out, code = last_out, last_code
+            else:
+                out = json.dumps({
+                    "metric": "PEMP-s1 r50 1-shot eval episodes/sec/chip "
+                              "(SUPERVISOR: no attempt produced a "
+                              f"measurement; last child rc={code})",
+                    "value": 0.0,
+                    "unit": "episodes/s",
+                    "vs_baseline": 0.0,
+                }) + "\n"
+                code = 3
         sys.stdout.write(out)
         sys.stdout.flush()
         return code
@@ -106,6 +160,31 @@ def _run_supervised() -> int:
 
 if __name__ == "__main__" and _supervisor_enabled():
     sys.exit(_run_supervised())
+
+# test hooks for the SUPERVISOR failure paths (we are the child here —
+# the supervisor, if any, exited above): a child that dies with no
+# output at all simulates the segfault/OOM/killed outage mode
+if os.environ.get("PEMP_BENCH_FAKE_CRASH"):
+    os._exit(7)
+_CRASH_ONCE = os.environ.get("PEMP_BENCH_FAKE_CRASH_ONCE_FILE", "")
+if _CRASH_ONCE and not os.path.exists(_CRASH_ONCE):
+    with open(_CRASH_ONCE, "w") as _f:
+        _f.write("crashed")
+    os._exit(7)
+
+# test hook for the supervisor RETRY path: the first child to see the
+# marker path wedges (creating the marker); retries run clean — a
+# one-shot outage the supervisor must recover from. Handled at module
+# level so the WEDGING child can take a short private watchdog
+# (PEMP_BENCH_FAKE_WEDGE_WATCHDOG_S, default 2s) without poisoning the
+# healthy retry children with a bound their cold start can't satisfy
+# (imports + jit compile alone take ~20s on a loaded host).
+_WEDGE_ONCE_FILE = os.environ.get("PEMP_BENCH_FAKE_WEDGE_ONCE_FILE", "")
+_FAKE_WEDGE_THIS_CHILD = bool(_WEDGE_ONCE_FILE) and \
+    not os.path.exists(_WEDGE_ONCE_FILE)
+if _FAKE_WEDGE_THIS_CHILD:
+    with open(_WEDGE_ONCE_FILE, "w") as _f:
+        _f.write("wedged")
 
 # Watchdog BEFORE the jax import: during a tunnel outage even `import
 # jax` can hang (the axon sitecustomize registration blocks on the
@@ -117,6 +196,9 @@ if __name__ == "__main__" and _supervisor_enabled():
 # trips it and never loses real measurements — only a genuinely wedged
 # launch does. The normal path disarms it before the contract line.
 _WATCHDOG_S = float(os.environ.get("PEMP_BENCH_WATCHDOG_S", "2700"))
+if _FAKE_WEDGE_THIS_CHILD:
+    _WATCHDOG_S = float(
+        os.environ.get("PEMP_BENCH_FAKE_WEDGE_WATCHDOG_S", "2"))
 _bench_done = threading.Event()
 _last_progress = [time.monotonic()]
 
@@ -172,13 +254,7 @@ def main():
     fake_wedge = float(os.environ.get("PEMP_BENCH_FAKE_WEDGE_S", "0"))
     if fake_wedge:
         time.sleep(fake_wedge)
-    # test hook for the SUPERVISOR retry path: the first child to see
-    # this marker path wedges (creating the marker); retries run clean —
-    # a one-shot outage the supervisor must recover from
-    wedge_once = os.environ.get("PEMP_BENCH_FAKE_WEDGE_ONCE_FILE", "")
-    if wedge_once and not os.path.exists(wedge_once):
-        with open(wedge_once, "w") as f:
-            f.write("wedged")
+    if _FAKE_WEDGE_THIS_CHILD:    # marker already written at module level
         time.sleep(3600)
 
     from pemp_tpu.models.pemp_stage1 import PEMPStage1

@@ -43,8 +43,12 @@ def _softmax_np(x):
 
 class CaNetRuntime(EntryRuntime):
     name = NAME
-    # eval must write the softmax back into the history store per episode
-    supports_fast_eval = False
+    # Fast eval IS supported (r4): reads come from the round's epoch
+    # snapshot (HistoryStore.next_epoch — the reference's worker
+    # re-fork, reference entry/canet.py:137-140), so the fast step only
+    # needs to return the feature-res logits for the write-back; the
+    # metric math stays on device and eval episodes prefetch safely.
+    supports_fast_eval = True
     # the history store is per-host memory and an episode can land on a
     # DIFFERENT host next epoch (tasks are resampled every epoch): a
     # rank-sharded loader would fragment the store, so every host loads
@@ -110,6 +114,35 @@ class CaNetRuntime(EntryRuntime):
         # shard_train_loader=False: batch names cover the FULL batch on
         # every host, so fetch the full logits (multi-host: allgather)
         self._write_history(fetch_global(aux["feat_logits"]), batch)
+
+    def post_chunk(self, auxes, batches):
+        # fused-launch flush (tpu.fuse_steps>1): the scan stacks every
+        # step's feature-res logits on a leading [k] axis; flushing them
+        # here IN STEP ORDER leaves the live store byte-identical to the
+        # serial loop's per-step writes (last-write-wins for a sample
+        # hit twice), and reads never see the difference — they come
+        # from the epoch snapshot either way (data/history.py).
+        feat = np.asarray(fetch_global(auxes["feat_logits"]), np.float32)
+        for j, batch in enumerate(batches):
+            self._write_history(feat[j], batch)
+
+    def make_fast_eval_step(self):
+        raw = super().make_fast_eval_step(with_logits=True)
+
+        def step(batch):
+            counts, losses, feat = raw(batch)
+            # eval loaders are unsharded: names cover the full batch, so
+            # gather the full logits for the write-back (multi-host:
+            # allgather, on the main thread)
+            self._write_history(
+                np.asarray(fetch_global(feat), np.float32), batch)
+            return counts, losses
+        return step
+
+    def make_bucketed_eval_step(self):
+        # variable-size GT at test_bs>1 keeps the host-exact path: its
+        # eval wrapper (make_eval_step) already carries the write-back
+        return None
 
     def make_eval_step(self):
         raw = super().make_eval_step()

@@ -100,6 +100,12 @@ class EntryRuntime:
         return ds, loader
 
     post_step = None    # optional hook(aux, batch) after each train step
+    # optional hook(auxes, batches) flushing a CHUNK of per-step aux at
+    # fused-launch boundaries (every aux leaf carries a leading [k]
+    # axis). A runtime that defines post_step AND post_chunk keeps its
+    # per-step host state under tpu.fuse_steps>1 — legal whenever that
+    # state has epoch-snapshot read semantics (CaNet's HistoryStore).
+    post_chunk = None
     # fully-on-device eval for fixed-size GT; runtimes with per-episode
     # host side effects (CaNet history write-back) must disable it
     supports_fast_eval = True
@@ -172,13 +178,18 @@ class EntryRuntime:
                 batch, shard, self.cfg.tpu.compact_wire))
         return step
 
-    def make_fast_eval_step(self):
+    def make_fast_eval_step(self, with_logits: bool = False):
         """Fully on-device eval for fixed-size GT: feature-res logits
         (any model's ``apply_eval``) -> align_corners resize -> argmax ->
         TP/FP/FN counts + per-episode CE, one small fetch per batch.
         The Evaluator uses this automatically when the query GT matches
         the input size (SYNTH, or bucketed real data); variable-size GT
-        keeps the host-exact path."""
+        keeps the host-exact path.
+
+        ``with_logits=True`` additionally returns the FEATURE-resolution
+        logits (third element) — runtimes with a per-episode host side
+        effect (CaNet's history write-back) wrap this to flush state
+        while keeping the metric math on device."""
         from pemp_tpu.core.losses import per_episode_cross_entropy
         from pemp_tpu.core.metrics import tp_fp_fn
         from pemp_tpu.models.common import output_resize
@@ -186,9 +197,9 @@ class EntryRuntime:
 
         def full(variables, wire_batch):
             batch = unpack_batch(wire_batch)
-            logits = self.apply_eval(variables, batch)       # [B,Q,h,w,2]
+            feat = self.apply_eval(variables, batch)         # [B,Q,h,w,2]
             out_hw = tuple(batch["qry_rgb"].shape[2:4])
-            logits = output_resize(logits, out_hw)           # [B,Q,H,W,2]
+            logits = output_resize(feat, out_hw)             # [B,Q,H,W,2]
             labels = batch["qry_msk"]                        # [B,Q,H,W]
             b, nq = logits.shape[:2]
             lg = logits.reshape(b, nq, -1, 2)
@@ -198,6 +209,8 @@ class EntryRuntime:
             # so TP/FP/FN simply add across the episode's queries)
             pred = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # [B,Q,H,W]
             counts = jax.vmap(jax.vmap(tp_fp_fn))(pred, labels).sum(axis=1)
+            if with_logits:
+                return counts, losses, feat
             return counts, losses
 
         jit_full = jax.jit(full)
@@ -342,16 +355,18 @@ class EntryRuntime:
         # multi-step fused launches (tpu.fuse_steps > 1): k train steps
         # per device launch via lax.scan — amortizes per-launch dispatch
         # (docs/DESIGN.md "Train-step device profile"). Runtimes with a
-        # per-step host hook (CaNet's history write-back) keep the
-        # serial loop: the hook cannot run inside the scan. Resolve the
-        # EFFECTIVE fuse before sizing the prefetch queue — a runtime
+        # per-step host hook need a chunk-boundary flush (post_chunk) to
+        # ride the scan — without one they keep the serial loop. Resolve
+        # the EFFECTIVE fuse before sizing the prefetch queue — a runtime
         # that ignores the flag must not pin fuse_steps batches in HBM
         # for a loop that consumes one at a time.
         fuse = int(cfg.tpu.fuse_steps)
-        if fuse > 1 and self.post_step is not None:
+        if fuse > 1 and self.post_step is not None \
+                and self.post_chunk is None:
             self.logger.info(
                 "tpu.fuse_steps ignored: this runtime runs a "
-                "per-step host hook (post_step)")
+                "per-step host hook (post_step) without a "
+                "chunk-boundary flush (post_chunk)")
             fuse = 1
         # fused launches drain fuse_steps batches per launch: the
         # prefetch queue must hold a full chunk or the host stalls the
@@ -366,10 +381,12 @@ class EntryRuntime:
         trainer.post_step = self.post_step
         if fuse > 1:
             from pemp_tpu.parallel.step import make_train_step_fused
+            trainer.post_chunk = self.post_chunk
             trainer.train_step_fused = make_train_step_fused(
                 self.make_loss_fn(), tx, fuse, self.mesh,
                 compact_wire=cfg.tpu.compact_wire,
-                divergent_hosts=divergent)
+                divergent_hosts=divergent,
+                with_aux=self.post_chunk is not None)
             trainer.fuse_steps = fuse
         self._variables = None   # bound lazily by eval step
         evaluator = self._make_evaluator("EVAL_ONLINE")
@@ -400,8 +417,13 @@ class EntryRuntime:
                     "batch_stats": trainer_self.state.batch_stats}
                 return raw_bucket(batch)
 
-            evaluator.fast_step = live_fast_step
-            evaluator.bucket_step = live_bucket_step
+            # a runtime may opt out of one path (CaNet keeps the
+            # host-exact path for variable-size GT: its eval wrapper
+            # carries the history write-back)
+            if raw_fast is not None:
+                evaluator.fast_step = live_fast_step
+            if raw_bucket is not None:
+                evaluator.bucket_step = live_bucket_step
 
         self.logger.info("Start training.")
         trainer.start_training_loop(train_ds, train_loader, evaluator,
@@ -441,6 +463,8 @@ class EntryRuntime:
         evaluator = self._make_evaluator("EVAL")
         evaluator.eval_step = lambda batch: self._raw_eval_step(batch)
         if self.supports_fast_eval:
+            # either may be None — a runtime's explicit opt-out of one
+            # path (the Evaluator treats None as "use the next path")
             evaluator.fast_step = self.make_fast_eval_step()
             evaluator.bucket_step = self.make_bucketed_eval_step()
         self.logger.info("Start testing.")
@@ -489,10 +513,12 @@ class EntryRuntime:
 
     def _maybe_prefetch_eval(self, loader):
         """Eval-side prefetch — the TPU-native analog of the reference's
-        pinned-memory DataLoader at eval time. Runtimes whose eval write
-        back into the batch stream (CaNet's history adapter injects the
-        PREVIOUS prediction into the next episode) must keep the serial
-        loader; ``supports_fast_eval`` already flags exactly those."""
+        pinned-memory DataLoader at eval time. Safe even for CaNet's
+        history-fed episodes: reads come from the round's epoch snapshot
+        (HistoryStore.next_epoch — the reference's worker re-fork), so
+        what a prefetched episode sees is independent of prefetch depth.
+        A runtime that still cannot tolerate read-ahead opts out with
+        ``supports_fast_eval=False``."""
         if not self.supports_fast_eval:
             return loader
         return self._maybe_prefetch(loader)

@@ -252,9 +252,13 @@ class Trainer:
         # optional multi-step fused launch (parallel/step.py
         # make_train_step_fused): runs fuse_steps train steps as one
         # jitted lax.scan program; epoch tails fall back to train_step.
-        # Mutually exclusive with post_step (no per-step host hook can
-        # run inside the scan).
+        # A runtime with a per-step host hook rides it by ALSO providing
+        # post_chunk(auxes, batches) — the fused step then returns every
+        # step's aux stacked on a leading [k] axis and the hook flushes
+        # once per chunk (legal whenever the host state has
+        # epoch-snapshot read semantics, e.g. the CaNet HistoryStore).
         self.train_step_fused = None
+        self.post_chunk = None
         self.fuse_steps = 1
         nd = len(str(cfg.tr.total_epochs))
         self.template = (f"Epoch: {{:{nd}d}}/{{:{nd}d}}"
@@ -472,9 +476,12 @@ class Trainer:
         multi-host world-OR fires whenever the step count crosses a
         STOP_SYNC_STEPS multiple, which every rank computes identically
         (equal-length loaders, equal fuse_steps)."""
-        if self.post_step is not None:
-            raise RuntimeError("fused multi-step launches cannot run a "
-                               "per-step host hook (post_step)")
+        if self.post_step is not None and self.post_chunk is None:
+            raise RuntimeError(
+                "fused multi-step launches cannot run a per-step host "
+                "hook (post_step) — provide post_chunk(auxes, batches) "
+                "for a chunk-boundary flush (requires epoch-snapshot "
+                "read semantics on the host state)")
         n_steps = 0
         last_sync = 0
         it = iter(train_loader)
@@ -493,15 +500,22 @@ class Trainer:
                     for _ in chunk:
                         lrs.append(self.lr_policy.lr)
                         self.step_lr()
-                    self.state, ls = self.train_step_fused(
-                        self.state, chunk, lrs, step_rng, n_steps)
+                    if self.post_chunk is not None:
+                        self.state, ls, auxes = self.train_step_fused(
+                            self.state, chunk, lrs, step_rng, n_steps)
+                        self.post_chunk(auxes, chunk)
+                    else:
+                        self.state, ls = self.train_step_fused(
+                            self.state, chunk, lrs, step_rng, n_steps)
                     losses.append(ls)
                 else:           # epoch tail: serial single steps
                     for j, batch in enumerate(chunk):
                         rng = jax.random.fold_in(step_rng, n_steps + j)
-                        self.state, loss, _aux = self.train_step(
+                        self.state, loss, aux = self.train_step(
                             self.state, batch, self.lr_policy.lr, rng)
                         losses.append(loss)
+                        if self.post_step is not None:
+                            self.post_step(aux, batch)
                         self.step_lr()
             n_steps += len(chunk)
             if world == 1:

@@ -166,7 +166,8 @@ def make_train_step(loss_fn: Callable, tx,
 def make_train_step_fused(loss_fn: Callable, tx, fuse_steps: int,
                           mesh: Optional[Mesh] = None,
                           compact_wire: bool = True,
-                          divergent_hosts: bool = False) -> Callable:
+                          divergent_hosts: bool = False,
+                          with_aux: bool = False) -> Callable:
     """Multi-step fused launch: ``fused(state, host_batches, lrs, rng,
     first_idx) -> (state, losses[k])`` runs ``k = len(host_batches) ==
     fuse_steps`` train steps as ONE jitted ``lax.scan`` program.
@@ -181,10 +182,20 @@ def make_train_step_fused(loss_fn: Callable, tx, fuse_steps: int,
     as a [k] vector, and the per-step rng is ``fold_in(rng, first_idx+j)``
     — the identical fold the serial loop applies.
 
+    ``with_aux=True`` additionally stacks each step's aux dict as scan
+    outputs and returns ``(state, losses[k], auxes)`` where every aux
+    leaf gains a leading [k] axis. This is how runtimes with per-step
+    HOST state ride the fused launch: CaNet's history write-back needs
+    each step's feature-res query softmax, and its epoch-snapshot read
+    semantics (pemp_tpu/data/history.py — write-backs only become
+    visible at ``next_epoch()``, the reference's worker re-fork,
+    reference entry/canet.py:137-140) make a chunk-boundary flush
+    indistinguishable from per-step writes.
+
     Constraints: the caller must pass exactly ``fuse_steps`` batches
-    (one compiled program; epoch tails run through the serial step) and
-    the runtime must have no per-step host hook (``post_step``) — aux
-    outputs are not returned from the scan."""
+    (one compiled program; epoch tails run through the serial step);
+    per-step host hooks (``post_step``) need ``with_aux`` + a
+    chunk-boundary flush (``Trainer.post_chunk``)."""
 
     def _fused(state: TrainState, batches, lrs, rng, first_idx):
         stacked = jax.tree_util.tree_map(
@@ -199,14 +210,18 @@ def make_train_step_fused(loss_fn: Callable, tx, fuse_steps: int,
             def lf(params):
                 return loss_fn(params, st.batch_stats, batch, step_rng)
 
-            (loss, (new_bs, _aux)), grads = jax.value_and_grad(
+            (loss, (new_bs, aux)), grads = jax.value_and_grad(
                 lf, has_aux=True)(st.params)
             updates, new_opt = tx.update(grads, st.opt_state, st.params)
             params = apply_updates(st.params, updates, lr)
-            return TrainState(params, new_bs, new_opt), loss
+            ys = (loss, aux) if with_aux else loss
+            return TrainState(params, new_bs, new_opt), ys
 
-        state, losses = jax.lax.scan(body, state, (stacked, lrs, idx))
-        return state, losses
+        state, ys = jax.lax.scan(body, state, (stacked, lrs, idx))
+        if with_aux:
+            losses, auxes = ys
+            return state, losses, auxes
+        return state, ys
 
     jit_fused = jax.jit(_fused, donate_argnums=(0,))
     shard = batch_sharding(mesh) if mesh is not None else None

@@ -18,10 +18,19 @@ case "$DEVICE" in
 esac
 export JAX_COMPILATION_CACHE_DIR=${JAX_COMPILATION_CACHE_DIR:-/tmp/jax_cache}
 
+# TPU production default: 8 fused train steps per device launch — legal
+# for CaNet since r4's chunk-boundary history flush (docs/DESIGN.md);
+# explicit k=v overrides still win (later duplicates override earlier).
+if [[ "$DEVICE" == tpu ]]; then
+  FUSE="tpu.fuse_steps=8"
+else
+  FUSE=""
+fi
+
 ARGS=' with
   tag=canet split=0
   tr.total_epochs=200 tr.lr=0.0025 data.train_n=10000 data.height=321 data.width=321
-  '$@
+  '$FUSE' '$@
 
 if [[ "$COMMAND" == "help" ]]; then
   ARGS=""

@@ -135,6 +135,45 @@ def test_fast_eval_matches_host_path(tmp_path):
     assert m_fast == m_slow, results
 
 
+def test_canet_fast_eval_matches_host_path_and_history(tmp_path):
+    """CaNet's fast eval (r4): the on-device metric path returns the
+    feature-res logits for the history write-back, so metrics AND the
+    store contents after a test run must match the host-exact path
+    (which writes back via the eval-step wrapper)."""
+    import entry.canet as ec
+    cfg, run = ec.ex.assemble("train", {
+        "split": "0", "data.dataset": "SYNTH", "data.height": "33",
+        "data.width": "33", "data.bs": "2", "data.train_n": "4",
+        "data.test_n": "2", "te.epochs": "1", "tr.total_epochs": "1",
+        "net.freeze_backbone": "False", "g.model_dir": str(tmp_path),
+    })
+    ec.CaNetRuntime(cfg, run).train()
+
+    results, stores = [], []
+    for fast in (True, False):
+        cfg2, run2 = ec.ex.assemble("test", {
+            "split": "0", "data.dataset": "SYNTH", "data.height": "33",
+            "data.width": "33", "data.test_n": "6", "te.epochs": "2",
+            "data.test_bs": "3" if fast else "1",
+            "net.freeze_backbone": "False", "exp_id": "1",
+            "g.model_dir": str(tmp_path),
+        }, observed=False)
+        rt2 = ec.CaNetRuntime(cfg2, run2)
+        rt2.supports_fast_eval = fast
+        results.append(rt2.test())
+        stores.append(dict(rt2.store._store))
+    m_fast = results[0].split("mIoU")[1]
+    m_slow = results[1].split("mIoU")[1]
+    assert m_fast == m_slow, results
+    # same write-back set, same softmaxes (two compiled programs of the
+    # same eval-mode math; this env's default matmul precision is
+    # bf16-level even on CPU, so low bits differ between programs)
+    assert stores[0].keys() == stores[1].keys()
+    for k in stores[0]:
+        np.testing.assert_allclose(stores[0][k], stores[1][k],
+                                   rtol=5e-4, atol=1e-4, err_msg=str(k))
+
+
 def test_fast_eval_matches_host_path_multi_query(tmp_path):
     """Q=2 episodes: both eval paths must count EVERY query (regression
     for the fast path silently using only query 0)."""

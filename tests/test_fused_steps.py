@@ -15,8 +15,9 @@ a full run proves nothing):
    loop would use, including the epoch-tail fallback — pinned with
    recording mocks, independent of numerics;
 3. end-to-end smoke: real entry runtimes train with fuse_steps (tail
-   included, mesh included); CaNet (per-step host hook) falls back to
-   the serial loop.
+   included, mesh included); CaNet rides the fused launch via the
+   chunk-boundary history flush (post_chunk) with the same store
+   contents at every epoch boundary as the serial loop.
 
 Reference counterpart: none (the reference syncs on ``loss.item()``
 every step, entry/baseline.py:55-62, and cannot batch launches at all).
@@ -276,13 +277,84 @@ def test_fused_epoch_driver_bookkeeping(tmp_path):
     assert trainer.lr_policy.steps == 8
 
 
-def test_fused_epoch_driver_rejects_post_step(tmp_path):
+def test_fused_epoch_driver_rejects_post_step_without_post_chunk(tmp_path):
     trainer = _mk_trainer(2, tmp_path)
     trainer.train_step_fused = lambda *a: (None, np.zeros(2))
     trainer.post_step = lambda aux, batch: None
-    with pytest.raises(RuntimeError, match="post_step"):
+    with pytest.raises(RuntimeError, match="post_chunk"):
         trainer._run_epoch_fused([1, 2], jax.random.PRNGKey(0), [],
                                  Timer(), GracefulStop(), world=1)
+
+
+def test_fused_epoch_driver_post_chunk_and_tail_post_step(tmp_path):
+    """With post_chunk set, each fused chunk's stacked aux is flushed
+    once (in order, with the chunk's batches), and the serial TAIL
+    steps still flush per step through post_step."""
+    trainer = _mk_trainer(3, tmp_path)
+    chunk_calls, tail_calls = [], []
+
+    def fake_fused(state, chunk, lrs, rng, first_idx):
+        aux = {"echo": np.arange(first_idx, first_idx + len(chunk))}
+        return state, np.zeros(len(chunk), np.float32), aux
+
+    def fake_step(state, batch, lr, rng):
+        return state, np.float32(0.0), {"echo": batch}
+
+    trainer.train_step_fused = fake_fused
+    trainer.train_step = fake_step
+    trainer.post_chunk = lambda auxes, batches: chunk_calls.append(
+        (auxes["echo"].tolist(), list(batches)))
+    trainer.post_step = lambda aux, batch: tail_calls.append(
+        (aux["echo"], batch))
+    loader = [f"b{i}" for i in range(8)]
+    n = trainer._run_epoch_fused(loader, jax.random.PRNGKey(3), [],
+                                 Timer(), GracefulStop(), world=1)
+    assert n == 8
+    assert chunk_calls == [([0, 1, 2], ["b0", "b1", "b2"]),
+                           ([3, 4, 5], ["b3", "b4", "b5"])]
+    assert tail_calls == [("b6", "b6"), ("b7", "b7")]
+
+
+def test_fused_with_aux_stacks_per_step_aux_exactly():
+    """Bit-level pin of the with_aux plumbing: each scan slice's aux is
+    a pure function of (batch, rng, params-before-step), so any wrong
+    stacking order, rng fold, or state threading shifts the [k]-stacked
+    aux far beyond the 1e-7 assert."""
+    import optax
+    from pemp_tpu.parallel.step import (make_train_step,
+                                        make_train_step_fused)
+
+    def loss_fn(params, batch_stats, batch, rng):
+        w = params["w"]
+        noise = jax.random.uniform(rng, ())
+        loss = jnp.sum((w - jnp.mean(batch["sup_rgb"])) ** 2) \
+            + noise * jnp.sum(w)
+        aux = {"echo": jnp.mean(batch["sup_rgb"]) + 10.0 * noise
+               + jnp.sum(w)}
+        return loss, (batch_stats, aux)
+
+    tx = optax.sgd(1.0, momentum=0.9)
+    params = {"w": jnp.arange(4, dtype=jnp.float32)}
+    state0 = TrainState(params, {}, tx.init(params))
+    step = make_train_step(loss_fn, tx)
+    fused = make_train_step_fused(loss_fn, tx, K, with_aux=True)
+    batches = [{"sup_rgb": np.full((2, 1, 4, 4, 3), float(i + 1),
+                                   np.float32)} for i in range(K)]
+    rng = jax.random.PRNGKey(11)
+    lrs = [1e-1, 1e-3, 3e-2]
+
+    st = _clone(state0)
+    s_aux = []
+    for j in range(K):
+        st, _loss, aux = step(st, batches[j], lrs[j],
+                              jax.random.fold_in(rng, j))
+        s_aux.append(float(aux["echo"]))
+    st2 = _clone(state0)
+    st2, f_losses, auxes = fused(st2, batches, lrs, rng, 0)
+    assert np.asarray(auxes["echo"]).shape == (K,)
+    np.testing.assert_allclose(s_aux, np.asarray(auxes["echo"]), rtol=1e-7)
+    np.testing.assert_allclose(np.asarray(st.params["w"]),
+                               np.asarray(st2.params["w"]), rtol=1e-7)
 
 
 # ---------------------------------------------------------------------------
@@ -309,13 +381,52 @@ def test_fused_e2e_with_tail_and_mesh(tmp_path):
     assert result is not None and "mIoU" in result
 
 
-def test_fused_rejected_with_post_step(tmp_path):
-    """CaNet's per-step history write-back cannot run inside the scan —
-    the runtime must fall back to the serial loop (and still train)."""
+def _train_canet_recording(tmp_path, name, fuse):
+    """Train CaNet e2e; record a digest of the LIVE history store at
+    every epoch boundary (just before the snapshot swap — i.e. the full
+    set of write-backs the previous epoch/round flushed)."""
     mod = importlib.import_module("entry.canet")
     cfg, run = mod.ex.assemble(
-        "train", {**COMMON, "g.model_dir": str(tmp_path),
-                  "data.bs": "2", "data.train_n": "4",
-                  "tpu.fuse_steps": "4", "net.freeze_backbone": "False"})
-    result = mod.CaNetRuntime(cfg, run).train()
-    assert result is not None and "mIoU" in result
+        "train", {**COMMON, "g.model_dir": str(tmp_path / name),
+                  "data.bs": "2", "data.train_n": "8",
+                  "tr.total_epochs": "2", "tpu.fuse_steps": str(fuse),
+                  "net.freeze_backbone": "False"})
+    rt = mod.CaNetRuntime(cfg, run)
+    snapshots = []
+    store, orig_next = rt.store, rt.store.next_epoch
+
+    def recording_next_epoch():
+        snapshots.append({k: v.copy() for k, v in store._store.items()})
+        orig_next()
+
+    store.next_epoch = recording_next_epoch
+    result = rt.train()
+    return result, snapshots
+
+
+def test_fused_canet_matches_serial_history(tmp_path):
+    """CaNet rides the fused launch (VERDICT r3 #1): with fuse_steps=4
+    the whole 4-step epoch is ONE scan launch whose stacked softmaxes
+    are flushed at the chunk boundary — legal because reads come from
+    the epoch snapshot either way (data/history.py). The store contents
+    at EVERY epoch boundary must match the serial loop's: same keys
+    (same episode stream + write-back set) and same values up to f32
+    compile variance between the scan and straight-line programs."""
+    res_s, snap_s = _train_canet_recording(tmp_path, "serial", 1)
+    res_f, snap_f = _train_canet_recording(tmp_path, "fused", 4)
+    assert res_s is not None and "mIoU" in res_s
+    assert res_f is not None and "mIoU" in res_f
+
+    assert len(snap_s) == len(snap_f) and len(snap_s) > 2
+    for ep, (a, b) in enumerate(zip(snap_s, snap_f)):
+        assert a.keys() == b.keys(), f"boundary {ep}"
+        # early boundaries are tight; later ones see f32 training chaos
+        # amplify the scan-vs-straight-line compile variance (the file
+        # docstring: ~1e-2 rel from 1-ulp perturbations in a few steps).
+        # Plumbing errors would show as O(0.5) softmax differences and
+        # are separately pinned bit-level by the toy-loss aux test.
+        atol = 2e-4 if ep < 2 else 2e-2
+        for k in a:
+            np.testing.assert_allclose(
+                a[k], b[k], rtol=2e-3, atol=atol,
+                err_msg=f"boundary {ep}, sample {k}")

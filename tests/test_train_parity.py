@@ -747,3 +747,253 @@ def test_pemp_stage2_5shot_train_grad_parity():
     want, _ = torch_to_trees("pemp_stage2", "resnet50", grad_sd(ref),
                              params, stats)
     assert_tree_close(grads, want, what="5shot-ce-grad")
+
+
+# ---------------------------------------------------------------------------
+# N-step training-TRAJECTORY parity (VERDICT r3 #2): ~20 consecutive
+# optimizer steps through BOTH full stacks — live LR schedule, BN running
+# stats threading step to step, momentum buffers, cedt weights — then
+# every leaf of params + momentum traces + batch_stats compared at the
+# end. One-step parity (above) plus schedule unit tests made accumulated
+# divergence unlikely; this demonstrates it absent.
+# Reference loop semantics: core/base_trainer.py:183-234, solver.py:53-127.
+# ---------------------------------------------------------------------------
+
+N_STEPS = 20
+TRAJ_REL = 1e-6
+
+
+def _find_traces(opt_state):
+    """Recursively collect optax TraceState.trace pytrees (the momentum
+    buffers) from a (possibly multi_transform-nested) optimizer state."""
+    import optax
+    found = []
+
+    def walk(s):
+        if isinstance(s, optax.TraceState):
+            found.append(s.trace)
+            return
+        if isinstance(s, dict):
+            for v in s.values():
+                walk(v)
+            return
+        if isinstance(s, (tuple, list)):
+            for v in s:
+                walk(v)
+            return
+        if hasattr(s, "_fields"):           # other NamedTuple states
+            for f in s._fields:
+                walk(getattr(s, f))
+            return
+        if hasattr(s, "inner_states"):      # MultiTransformState
+            walk(s.inner_states)
+            return
+        if hasattr(s, "inner_state"):       # MaskedState
+            walk(s.inner_state)
+
+    walk(opt_state)
+    assert len(found) == 1, f"expected one trace, found {len(found)}"
+    return found[0]
+
+
+def _torch_momentum_sd(ref, opt):
+    """state_dict-shaped momentum buffers (zeros where absent)."""
+    out = {}
+    pdict = dict(ref.named_parameters())
+    for k, v in ref.state_dict().items():
+        p = pdict.get(k)
+        buf = None
+        if p is not None and p in opt.state:
+            buf = opt.state[p].get("momentum_buffer")
+        out[k] = (buf.detach().numpy() if buf is not None
+                  else np.zeros(v.shape, np.float64))
+    return out
+
+
+def _assert_masked_close(got_tree, want_tree, mask, what):
+    """Compare only trainable leaves (frozen params have no torch
+    momentum buffer and optax stores MaskedNode there)."""
+    gf = traverse_util.flatten_dict(got_tree)
+    wf = traverse_util.flatten_dict(want_tree)
+    mf = traverse_util.flatten_dict(mask)
+    bad = []
+    for k, trainable in mf.items():
+        if not trainable:
+            continue
+        g = np.asarray(gf[k], np.float64)
+        w = np.asarray(wf[k], np.float64)
+        scale = max(np.abs(w).max(), np.abs(g).max(), 1e-10)
+        err = np.abs(g - w).max() / scale
+        if err > TRAJ_REL:
+            bad.append(("/".join(map(str, k)), float(err)))
+    assert not bad, f"{what} mismatch on {len(bad)} leaves: {bad[:8]}"
+
+
+def _run_trajectory(model, ref, family, backbone, frozen, tr_cfg,
+                    lr_fn, n_epochs, steps_per_epoch, loss_kind,
+                    with_prior=False):
+    """Drive N = n_epochs*steps_per_epoch consecutive steps through both
+    stacks with fresh batches per step; returns everything needed for
+    the end-state comparison. ``lr_fn(step, epoch)`` is the torch-side
+    INDEPENDENT implementation of the reference schedule formula (our
+    side uses the live LRPolicy)."""
+    data_rng = np.random.RandomState(77)
+    batches = []
+    for _ in range(n_epochs * steps_per_epoch):
+        sup_img, sup_mask, qry_img = episode(data_rng)
+        prior = (data_rng.rand(B, Q, H, W) > 0.5).astype(np.float64)
+        labels = make_labels(data_rng)
+        batches.append((sup_img, sup_mask, qry_img, prior, labels))
+
+    params, stats = setup_trees(
+        model, ref, family, backbone,
+        (jnp.asarray(batches[0][0]), jnp.asarray(batches[0][1]),
+         jnp.asarray(batches[0][2]))
+        + ((jnp.asarray(batches[0][3]),) if with_prior else ()),
+        {"out_hw": (H, W)})
+
+    tx, opt_state, lr_policy, mask = solver.get(
+        tr_cfg, params, frozen, max_steps=len(batches))
+
+    def loss_and_stats(p, st, sup, msk, qry, prior, labels_j):
+        args = (jnp.asarray(sup), jnp.asarray(msk), jnp.asarray(qry)) \
+            + ((jnp.asarray(prior),) if with_prior else ())
+        out, mut = model.apply(
+            {"params": p, "batch_stats": st}, *args, out_hw=(H, W),
+            train=True, mutable=["batch_stats"])
+        lg = out.reshape(B * Q, H, W, 2)
+        loss = (loss_lib.cross_entropy(lg, labels_j)
+                if loss_kind == "ce" else loss_lib.cedt(lg, labels_j,
+                                                        SIGMA))
+        return loss, mut["batch_stats"]
+
+    grad_fn = jax.value_and_grad(loss_and_stats, has_aux=True)
+
+    # --- torch mirror loop setup ---------------------------------------
+    freeze_torch(ref, frozen)
+    opt = torch.optim.SGD(
+        [p for p in ref.parameters() if p.requires_grad], lr=1.0,
+        momentum=tr_cfg.sgd_momentum, weight_decay=tr_cfg.weight_decay)
+
+    our_losses, torch_losses = [], []
+    step_i = 0
+    with jax.default_matmul_precision("highest"):
+        for epoch in range(n_epochs):
+            for _ in range(steps_per_epoch):
+                sup, msk, qry, prior, labels = batches[step_i]
+                labels_j = jnp.asarray(labels)
+                labels_t = torch.from_numpy(labels.astype(np.int64))
+
+                # ours: the serial train-step composition (grad ->
+                # tx.update -> apply_updates at the live schedule LR)
+                (loss, new_stats), grads = grad_fn(
+                    params, stats, sup, msk, qry, prior, labels_j)
+                updates, opt_state = tx.update(updates=grads,
+                                               state=opt_state,
+                                               params=params)
+                params = solver.apply_updates(params, updates,
+                                              lr_policy.lr)
+                stats = new_stats
+                our_losses.append(float(loss))
+
+                # torch: same batch, independent schedule formula
+                opt.zero_grad(set_to_none=True)
+                out_t = ref(*((nchw(sup), nchw(msk), nchw(qry))
+                              + ((torch.from_numpy(prior)
+                                  .view(B * Q, 1, H, W),)
+                                 if with_prior else ())))
+                tl = (F.cross_entropy(out_t, labels_t, ignore_index=255)
+                      if loss_kind == "ce" else torch_cedt(out_t, labels_t))
+                tl.backward()
+                torch.nn.utils.clip_grad_norm_(ref.parameters(),
+                                               tr_cfg.grad_clip)
+                opt.param_groups[0]["lr"] = lr_fn(step_i, epoch)
+                opt.step()
+                torch_losses.append(float(tl.detach()))
+
+                lr_policy.step_step()
+                step_i += 1
+            lr_policy.step_epoch()
+
+    np.testing.assert_allclose(our_losses, torch_losses, rtol=TRAJ_REL)
+
+    want_params, want_stats = torch_to_trees(
+        family, backbone, to_numpy_sd(ref), params, stats)
+    assert_tree_close(jax.tree_util.tree_map(np.asarray, params),
+                      want_params, rel=TRAJ_REL,
+                      what=f"{family}-trajectory-params")
+    assert_tree_close(jax.tree_util.tree_map(np.asarray, stats),
+                      want_stats, rel=TRAJ_REL,
+                      what=f"{family}-trajectory-stats")
+    want_mom, _ = torch_to_trees(
+        family, backbone, _torch_momentum_sd(ref, opt), params, stats)
+    _assert_masked_close(
+        jax.tree_util.tree_map(np.asarray, _find_traces(opt_state)),
+        want_mom, mask, what=f"{family}-trajectory-momentum")
+
+
+@pytest.mark.slow
+def test_pemp_stage1_20step_trajectory_parity():
+    """PEMP-s1 r50, cedt, live POLY per-step schedule: 20 consecutive
+    clipped SGD(momentum, wd) steps at f64 — final params, momentum
+    buffers, BN running stats, and the per-step loss sequence all match
+    torch at rel 1e-6 (reference base_trainer.py:183-234 loop with
+    solver.py PolyLR :53-72)."""
+    from pemp_tpu.models.pemp_stage1 import PEMPStage1
+
+    torch.manual_seed(21)
+    rng = np.random.RandomState(21)
+    ref = tm.TorchPEMPStage1(protos=3)
+    tm.randomize_all_bns(ref, rng)
+    ref.train()
+    model = PEMPStage1(backbone="resnet50", protos=3, drop_rate=0.0,
+                       dtype=jnp.float64)
+
+    tr_cfg = SimpleNamespace(
+        opt="sgd", sgd_momentum=0.9, sgd_nesterov=False,
+        weight_decay=5e-4, grad_clip=1.1, lr=LR, lrp="poly",
+        power=0.9, lr_end=0.0,
+        adam_beta1=0.9, adam_beta2=0.999, adam_epsilon=1e-8)
+
+    def poly_lr(step, _epoch):
+        # reference PolyLR (solver.py:53-72): step() at construction,
+        # so the step-j LR uses t = j+1 (independent re-implementation)
+        t = min(step + 1, N_STEPS)
+        return (LR - 0.0) * (1 - t / N_STEPS) ** 0.9 + 0.0
+
+    _run_trajectory(model, ref, "pemp_stage1", "resnet50",
+                    PEMPStage1.FROZEN["resnet50"], tr_cfg, poly_lr,
+                    n_epochs=1, steps_per_epoch=N_STEPS,
+                    loss_kind="cedt")
+
+
+@pytest.mark.slow
+def test_pemp_stage2_20step_trajectory_parity():
+    """Stage-2 ResNetCM, cedt + prior channel, live PERIOD_STEP
+    per-epoch schedule (StepLR: decay 0.1 every 2 epochs): 4 epochs x 5
+    steps at f64 — the per-epoch LR sequencing interacts with momentum
+    and BN running stats across boundaries exactly as in torch."""
+    from pemp_tpu.models.pemp_stage2 import PEMPStage2
+
+    torch.manual_seed(22)
+    rng = np.random.RandomState(22)
+    ref = tm.TorchPEMPStage2(protos=3, spq=S + Q)
+    tm.randomize_all_bns(ref, rng)
+    ref.train()
+    model = PEMPStage2(backbone="resnet50", protos=3, spq=S + Q,
+                       drop_rate=0.0, dtype=jnp.float64)
+
+    tr_cfg = SimpleNamespace(
+        opt="sgd", sgd_momentum=0.9, sgd_nesterov=False,
+        weight_decay=5e-4, grad_clip=1.1, lr=LR, lrp="period_step",
+        lr_step=2, lr_rate=0.1,
+        adam_beta1=0.9, adam_beta2=0.999, adam_epsilon=1e-8)
+
+    def step_lr(_step, epoch):
+        # reference StepLR semantics (independent re-implementation)
+        return LR * 0.1 ** (epoch // 2)
+
+    _run_trajectory(model, ref, "pemp_stage2", "resnet50",
+                    PEMPStage2.FROZEN["resnet50"], tr_cfg, step_lr,
+                    n_epochs=4, steps_per_epoch=5, loss_kind="cedt",
+                    with_prior=True)

@@ -27,8 +27,33 @@ import re
 from typing import Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import optax
 from flax import traverse_util
+
+
+def clip_by_global_norm_torch(max_norm: float):
+    """``torch.nn.utils.clip_grad_norm_`` semantics (the reference clips
+    with it, base_trainer.py:58-63): scale by ``max_norm / (norm + 1e-6)``
+    clamped to 1. ``optax.clip_by_global_norm`` omits the ``1e-6`` — a
+    ~1e-6 relative difference on every CLIPPED update, invisible to
+    one-step parity at param scale but amplified to 3e-3 over 20 steps
+    by training chaos (caught by tests/test_train_parity.py's
+    trajectory tests)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        g_norm = optax.global_norm(updates)
+        scale = jnp.minimum(1.0, max_norm / (g_norm + 1e-6))
+        updates = jax.tree_util.tree_map(
+            lambda u: (u * scale).astype(u.dtype), updates)
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def trainable_mask(params, frozen_patterns: Sequence[str]):
@@ -45,7 +70,7 @@ def make_optimizer(tr_cfg, mask) -> optax.GradientTransformation:
     ``params -= lr * updates``)."""
     chain = []
     if tr_cfg.grad_clip > 0:
-        chain.append(optax.clip_by_global_norm(tr_cfg.grad_clip))
+        chain.append(clip_by_global_norm_torch(tr_cfg.grad_clip))
     if tr_cfg.weight_decay > 0:
         chain.append(optax.add_decayed_weights(
             tr_cfg.weight_decay, mask=mask))

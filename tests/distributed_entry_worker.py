@@ -23,6 +23,13 @@ Modes:
            rank mid-run: the world-OR stop consensus must stop EVERY
            rank at the same epoch boundary (train() returns
            "PREEMPTED"); then a second invocation resumes to completion
+  fused_preempt
+           preempt composed with tpu.fuse_steps=2 (VERDICT r3 #7): the
+           SIGTERM lands while ranks are inside/between fused chunks,
+           the consensus fires on the chunk-boundary/epoch-boundary
+           schedule, and the resumed run (also fused) replays the
+           interrupted epoch exactly once — so the final recorded
+           stream holds each epoch once, rank-identical
 
 (single-process reference when COORDINATOR_ADDRESS is unset; pass the
 GLOBAL batch size then)
@@ -90,6 +97,15 @@ def main(out_path, model_dir, bs, entry_name="baseline", mode="train"):
                                         "tr.total_epochs": "3"})
     elif mode == "fused":
         result = run_train(entry_name, {**overrides,
+                                        "tpu.fuse_steps": "2"})
+    elif mode == "fused_preempt":
+        result = run_train(entry_name, {**overrides,
+                                        "tr.total_epochs": "50",
+                                        "tpu.fuse_steps": "2"})
+        assert result == "PREEMPTED", f"expected PREEMPTED, got {result!r}"
+        result = run_train(entry_name, {**overrides, "resume": "True",
+                                        "exp_id": "1",
+                                        "tr.total_epochs": "5",
                                         "tpu.fuse_steps": "2"})
     elif mode == "stage2":
         run_train("pemp_stage1", {**overrides, "data.height": "33",

@@ -98,12 +98,16 @@ ROWS = {
     "panet8": ("panet", 401, 8, {}),
     "canet": ("canet", 321, 4, {}),
     "rpmms": ("rpmms", 481, 4, {}),
+    # rpmms at larger batch: the 481² preset's device profile is FLAT
+    # (no single op >1.3% of the step) with ~20% layout copies; the
+    # only lever left is batch-amortizing them (docs/DESIGN.md)
+    "rpmms8": ("rpmms", 481, 8, {}),
     "pfenet": ("pfenet", 473, 4, {}),
 }
 
 # rows that deviate from the reference protocol toward the TPU-optimal
 # operating point (everything else mirrors a published preset)
-TUNED_ROWS = {"panet8"}
+TUNED_ROWS = {"panet8", "rpmms8"}
 
 
 def assemble_runtime(name, hw, bs, extra, model_dir, on_tpu):
@@ -168,10 +172,17 @@ def make_family_setup(name, on_tpu, model_dir):
                        opt_state)
     step = make_train_step(runtime.make_loss_fn(), tx, runtime.mesh,
                            compact_wire=cfg.tpu.compact_wire)
-    # the production fused launch (tpu.fuse_steps) for the --fuse arm
+    # the production fused launch (tpu.fuse_steps) for the --fuse arm;
+    # runtimes with a chunk-boundary host flush (CaNet's history
+    # write-back, post_chunk) get the aux outputs + the flush itself in
+    # the timed path — the honest production wall number, not a
+    # device-only ceiling
+    step.post_chunk = getattr(runtime, "post_chunk", None)
+    step.host_batch = host_batch
     step.make_fused = lambda k: make_train_step_fused(
         runtime.make_loss_fn(), tx, k, runtime.mesh,
-        compact_wire=cfg.tpu.compact_wire)
+        compact_wire=cfg.tpu.compact_wire,
+        with_aux=step.post_chunk is not None)
 
     # device-resident batch: the step's own device_batch passes
     # jax.Array values through, so H2D stays out of the timed window
@@ -194,22 +205,55 @@ def bench_row(name, on_tpu, model_dir, fuse=0):
         # the production fused launch: k steps per program (the batch is
         # reused k times — device-resident either way, H2D excluded).
         # flops stays the single-step cost; a launch is `fuse` steps.
+        # With a post_chunk runtime (CaNet) each launch also pays the
+        # chunk-boundary history flush, as production does.
         fused = step.make_fused(fuse)
-        state, ls = fused(state, [batch] * fuse, [float(lr)] * fuse,
-                          key, 0)
-        float(ls[-1])
-        holder = {"state": state}
+        post_chunk = step.post_chunk
+        hbatches = [step.host_batch] * fuse
 
-        def timed_round():
-            tic = time.perf_counter()
-            st = holder["state"]
-            for i in range(LAUNCHES):
-                st, ls = fused(st, [batch] * fuse, [float(lr)] * fuse,
-                               jax.random.fold_in(key, i), 0)
-            holder["state"] = st
+        if post_chunk is not None:
+            # production pattern (core/trainer.py _run_epoch_fused):
+            # chunk i's flush is deferred until launch i+1 is dispatched
+            # so the host fetch overlaps device compute
+            state, ls, aux0 = fused(state, [batch] * fuse,
+                                    [float(lr)] * fuse, key, 0)
+            post_chunk(aux0, hbatches)
             float(ls[-1])
-            dt = time.perf_counter() - tic
-            return LAUNCHES * fuse * bs / dt, dt / LAUNCHES
+            holder = {"state": state}
+
+            def timed_round():
+                tic = time.perf_counter()
+                st = holder["state"]
+                pending = None
+                for i in range(LAUNCHES):
+                    st, ls, aux = fused(st, [batch] * fuse,
+                                        [float(lr)] * fuse,
+                                        jax.random.fold_in(key, i), 0)
+                    if pending is not None:
+                        post_chunk(pending, hbatches)
+                    pending = aux
+                post_chunk(pending, hbatches)
+                holder["state"] = st
+                float(ls[-1])
+                dt = time.perf_counter() - tic
+                return LAUNCHES * fuse * bs / dt, dt / LAUNCHES
+        else:
+            state, ls = fused(state, [batch] * fuse, [float(lr)] * fuse,
+                              key, 0)
+            float(ls[-1])
+            holder = {"state": state}
+
+            def timed_round():
+                tic = time.perf_counter()
+                st = holder["state"]
+                for i in range(LAUNCHES):
+                    st, ls = fused(st, [batch] * fuse,
+                                   [float(lr)] * fuse,
+                                   jax.random.fold_in(key, i), 0)
+                holder["state"] = st
+                float(ls[-1])
+                dt = time.perf_counter() - tic
+                return LAUNCHES * fuse * bs / dt, dt / LAUNCHES
     else:
         state, loss, _ = step(state, batch, lr, key)
         float(loss)     # value fetch (block_until_ready can return early

@@ -280,6 +280,74 @@ def row_latency(on_tpu, dtype):
     return rows
 
 
+def row_latency_artifact(on_tpu, dtype):
+    """Serving latency of the RESTORED single-artifact cascade (VERDICT
+    r3 #6): the StableHLO blob from tools/export_serving.py --model
+    cascade is deserialized and called like a real serving process
+    would — p50/p99 wall per launch at B=1 plus the B->latency curve at
+    1/4/16. Each launch closes with a 1-element value fetch (a tiny
+    dependent slice program — forces completion without timing the bulk
+    logits D2H, which the tunnel would dominate; a serving host pays
+    PCIe for that transfer). p50/p99 come from the best of 3 sample
+    rounds (tunnel mode flips between rounds, CLAUDE.md)."""
+    from jax import export as jexport
+
+    from pemp_tpu.models.pemp_stage1 import PEMPStage1
+    from pemp_tpu.models.pemp_stage2 import PEMPStage2
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from export_serving import build_cascade_serving_fn
+
+    hw = 401 if on_tpu else 33
+    s1 = PEMPStage1(backbone="resnet50", dtype=dtype, use_pallas=on_tpu)
+    s2 = PEMPStage2(backbone="resnet50", spq=2, dtype=dtype,
+                    use_pallas=on_tpu)
+    rng = np.random.RandomState(0)
+    sup1, msk1, qry1 = episode_arrays(rng, 1, 1, 1, hw)
+    v1 = jax.jit(lambda a, m, q: s1.init(
+        {"params": jax.random.PRNGKey(0)}, a, m, q, out_hw=None))(
+        sup1, msk1, qry1)
+    v2 = jax.jit(lambda a, m, q, p: s2.init(
+        {"params": jax.random.PRNGKey(1)}, a, m, q, p, out_hw=None))(
+        sup1, msk1, qry1, jnp.zeros((1, 1, hw, hw)))
+
+    rows = []
+    for b in ((1, 4, 16) if on_tpu else (1, 2)):
+        serve, specs = build_cascade_serving_fn(s1, v1, s2, v2, b, 1, 1,
+                                                hw)
+        blob = jexport.export(serve)(*specs).serialize()
+        restored = jexport.deserialize(blob)     # the serving-side path
+        call = jax.jit(restored.call)
+        sup, msk, qry = episode_arrays(rng, b, 1, 1, hw)
+        for _ in range(3):
+            out = call(sup, msk, qry)
+            np.asarray(out[0, 0, 0, 0, 0])       # warmup + compile
+        _progress()
+
+        best = None
+        n = 30
+        for _ in range(3):
+            samples = []
+            for _i in range(n):
+                tic = time.perf_counter()
+                out = call(sup, msk, qry)
+                np.asarray(out[0, 0, 0, 0, 0])   # completion fence
+                samples.append((time.perf_counter() - tic) * 1e3)
+            _progress()
+            s = np.asarray(samples)
+            if best is None or np.median(s) < np.median(best):
+                best = s
+        rows.append({
+            "metric": f"restored cascade artifact B={b} serving "
+                      f"latency ({hw}x{hw})",
+            "value": round(float(np.median(best)), 2),
+            "unit": "ms wall p50/launch",
+            "p99_ms": round(float(np.percentile(best, 99)), 2),
+            "per_episode_p50_ms": round(float(np.median(best)) / b, 3),
+        })
+    return rows
+
+
 ROWS = {
     "cascade1": lambda on, dt: row_cascade(1, on, dt),
     "cascade5": lambda on, dt: row_cascade(5, on, dt),
@@ -288,6 +356,7 @@ ROWS = {
     "rpmms481": lambda on, dt: row_model("rpmms", 481, 16, on, dt),
     "pfenet473": lambda on, dt: row_model("pfenet", 473, 8, on, dt),
     "latency1": row_latency,
+    "latency_artifact": row_latency_artifact,
 }
 
 

@@ -289,7 +289,15 @@ def row_latency_artifact(on_tpu, dtype):
     dependent slice program — forces completion without timing the bulk
     logits D2H, which the tunnel would dominate; a serving host pays
     PCIe for that transfer). p50/p99 come from the best of 3 sample
-    rounds (tunnel mode flips between rounds, CLAUDE.md)."""
+    rounds (tunnel mode flips between rounds, CLAUDE.md).
+
+    The wall columns INCLUDE this link's ~25 ms tunnel round trip (the
+    per-launch sync is the point of a latency row — unlike the
+    throughput rows it cannot pipeline it away); ``device_ms``, parsed
+    from a profiler trace, is the chip-side execution a real serving
+    deployment schedules against."""
+    import tempfile
+
     from jax import export as jexport
 
     from pemp_tpu.models.pemp_stage1 import PEMPStage1
@@ -297,6 +305,7 @@ def row_latency_artifact(on_tpu, dtype):
 
     sys.path.insert(0, str(Path(__file__).parent))
     from export_serving import build_cascade_serving_fn
+    from profile_train import device_plane_ops
 
     hw = 401 if on_tpu else 33
     s1 = PEMPStage1(backbone="resnet50", dtype=dtype, use_pallas=on_tpu)
@@ -337,6 +346,24 @@ def row_latency_artifact(on_tpu, dtype):
             s = np.asarray(samples)
             if best is None or np.median(s) < np.median(best):
                 best = s
+
+        device_ms = None
+        if on_tpu:
+            outdir = tempfile.mkdtemp(prefix="pemp_lat_art_")
+            with jax.profiler.trace(outdir):
+                for _ in range(10):
+                    out = call(sup, msk, qry)
+                # full-fetch fence: a slice fence would add its own
+                # jit module to the trace and skew the per-execution
+                # division
+                np.asarray(out)
+            import glob as _glob
+            xp = sorted(_glob.glob(f"{outdir}/**/*.xplane.pb",
+                                   recursive=True))[-1]
+            _ops, step_ns, n_steps = device_plane_ops(
+                xp, module_prefix="jit", fallback_steps=10)
+            device_ms = round(step_ns / 1e6 / n_steps, 2)
+            _progress()
         rows.append({
             "metric": f"restored cascade artifact B={b} serving "
                       f"latency ({hw}x{hw})",
@@ -344,6 +371,7 @@ def row_latency_artifact(on_tpu, dtype):
             "unit": "ms wall p50/launch",
             "p99_ms": round(float(np.percentile(best, 99)), 2),
             "per_episode_p50_ms": round(float(np.median(best)) / b, 3),
+            "device_ms": device_ms,
         })
     return rows
 

@@ -442,7 +442,12 @@ def test_four_process_fused_launches_with_midchunk_preemption(tmp_path):
                 break   # a worker died early — surface its log below
             _time.sleep(2)
         else:
-            raise AssertionError("rank 0 never recorded an epoch")
+            for p in procs:     # surface where the ranks actually are
+                p.kill()
+            parts = [p.communicate()[0][-1500:] for p in procs]
+            raise AssertionError(
+                "rank 0 never recorded an epoch; rank tails:\n"
+                + "\n--- rank ---\n".join(parts))
         procs[2].send_signal(15)                    # SIGTERM rank 2 only
         logs = [p.communicate(timeout=TIMEOUT_S)[0] for p in procs]
     finally:

@@ -968,6 +968,112 @@ def test_pemp_stage1_20step_trajectory_parity():
 
 
 @pytest.mark.slow
+def test_canet_12step_history_feedback_trajectory_parity():
+    """CaNet with the HISTORY FEEDBACK LOOP closed over steps: step j's
+    feature-res softmax is step j+1's history input (the reference's
+    write-back -> next-epoch read, entry/canet.py:77-80,137-140), with
+    the trunk frozen (requires_grad=False vs our optax mask) while its
+    BN running stats keep updating in train mode. 12 consecutive
+    clipped SGD steps on one episode batch at f64; losses, final
+    params, momentum, and batch stats at rel 1e-6 — a drift anywhere in
+    the loop (softmax, resize, feedback plumbing) compounds through the
+    history input and is amplified by the recurrence."""
+    from pemp_tpu.models.canet import CaNet
+    from pemp_tpu.models.common import output_resize
+
+    torch.manual_seed(23)
+    rng = np.random.RandomState(23)
+    ref = tm.TorchCaNet()
+    tm.randomize_all_bns(ref, rng)
+    ref.train()
+    model = CaNet(drop_rate=0.0, dtype=jnp.float64)
+
+    sup_img, sup_mask, qry_img = episode(rng)
+    labels = make_labels(rng)
+    h8 = w8 = 7
+    hist0 = np.zeros((B, Q, h8, w8, 2), np.float64)
+    params, stats = setup_trees(
+        model, ref, "canet", "resnet50",
+        (jnp.asarray(sup_img), jnp.asarray(sup_mask),
+         jnp.asarray(qry_img), jnp.asarray(hist0)), {"out_hw": (H, W)})
+    labels_j = jnp.asarray(labels)
+    labels_t = torch.from_numpy(labels.astype(np.int64))
+
+    n = 12
+    frozen = CaNet.FROZEN[True]      # reference default: frozen trunk
+    tr_cfg = SimpleNamespace(
+        opt="sgd", sgd_momentum=0.9, sgd_nesterov=False,
+        weight_decay=5e-4, grad_clip=1.1, lr=LR, lrp="poly",
+        power=0.9, lr_end=0.0,
+        adam_beta1=0.9, adam_beta2=0.999, adam_epsilon=1e-8)
+    tx, opt_state, lr_policy, mask = solver.get(tr_cfg, params, frozen,
+                                                max_steps=n)
+
+    def loss_and_aux(p, st, hist):
+        feat, mut = model.apply(
+            {"params": p, "batch_stats": st}, jnp.asarray(sup_img),
+            jnp.asarray(sup_mask), jnp.asarray(qry_img), hist,
+            out_hw=None, train=True, mutable=["batch_stats"])
+        up = output_resize(feat, (H, W))
+        loss = loss_lib.cross_entropy(up.reshape(B * Q, H, W, 2),
+                                      labels_j)
+        return loss, (mut["batch_stats"], feat)
+
+    grad_fn = jax.value_and_grad(loss_and_aux, has_aux=True)
+
+    freeze_torch(ref, frozen)
+    opt = torch.optim.SGD(
+        [p for p in ref.parameters() if p.requires_grad], lr=1.0,
+        momentum=0.9, weight_decay=5e-4)
+
+    hist_j = jnp.asarray(hist0)
+    hist_t = torch.zeros(B, Q, 2, h8, w8, dtype=torch.float64)
+    with jax.default_matmul_precision("highest"):
+        for j in range(n):
+            (loss, (new_stats, feat)), grads = grad_fn(params, stats,
+                                                       hist_j)
+            updates, opt_state = tx.update(updates=grads,
+                                           state=opt_state,
+                                           params=params)
+            params = solver.apply_updates(params, updates, lr_policy.lr)
+            stats = new_stats
+            hist_j = jax.nn.softmax(feat, axis=-1)   # feedback (stored
+            lr_policy.step_step()                    # value, no grad)
+
+            opt.zero_grad(set_to_none=True)
+            feat_t = ref(nchw(sup_img), nchw(sup_mask), nchw(qry_img),
+                         hist_t, out_shape=False)
+            out_t = F.interpolate(feat_t, (H, W), mode="bilinear",
+                                  align_corners=True)
+            tl = F.cross_entropy(out_t, labels_t, ignore_index=255)
+            tl.backward()
+            torch.nn.utils.clip_grad_norm_(ref.parameters(), 1.1)
+            t = min(j + 1, n)
+            opt.param_groups[0]["lr"] = LR * (1 - t / n) ** 0.9
+            opt.step()
+            hist_t = F.softmax(feat_t.detach(), dim=1) \
+                .view(B, Q, 2, h8, w8)
+
+            np.testing.assert_allclose(float(loss), float(tl.detach()),
+                                       rtol=TRAJ_REL,
+                                       err_msg=f"step {j} loss")
+
+    want_params, want_stats = torch_to_trees(
+        "canet", "resnet50", to_numpy_sd(ref), params, stats)
+    assert_tree_close(jax.tree_util.tree_map(np.asarray, params),
+                      want_params, rel=TRAJ_REL,
+                      what="canet-trajectory-params")
+    assert_tree_close(jax.tree_util.tree_map(np.asarray, stats),
+                      want_stats, rel=TRAJ_REL,
+                      what="canet-trajectory-stats")
+    want_mom, _ = torch_to_trees(
+        "canet", "resnet50", _torch_momentum_sd(ref, opt), params, stats)
+    _assert_masked_close(
+        jax.tree_util.tree_map(np.asarray, _find_traces(opt_state)),
+        want_mom, mask, what="canet-trajectory-momentum")
+
+
+@pytest.mark.slow
 def test_pemp_stage2_20step_trajectory_parity():
     """Stage-2 ResNetCM, cedt + prior channel, live PERIOD_STEP
     per-epoch schedule (StepLR: decay 0.1 every 2 epochs): 4 epochs x 5

@@ -99,6 +99,10 @@ def main(out_path, model_dir, bs, entry_name="baseline", mode="train"):
         result = run_train(entry_name, {**overrides,
                                         "tpu.fuse_steps": "2"})
     elif mode == "fused_preempt":
+        # train_n=16: in a 4-process world the default 8-episode stream
+        # shards to ONE step per rank per epoch — every epoch would be
+        # a serial tail and the fused chunk would never execute
+        overrides["data.train_n"] = "16"
         result = run_train(entry_name, {**overrides,
                                         "tr.total_epochs": "50",
                                         "tpu.fuse_steps": "2"})

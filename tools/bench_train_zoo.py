@@ -211,49 +211,37 @@ def bench_row(name, on_tpu, model_dir, fuse=0):
         post_chunk = step.post_chunk
         hbatches = [step.host_batch] * fuse
 
-        if post_chunk is not None:
-            # production pattern (core/trainer.py _run_epoch_fused):
-            # chunk i's flush is deferred until launch i+1 is dispatched
-            # so the host fetch overlaps device compute
-            state, ls, aux0 = fused(state, [batch] * fuse,
-                                    [float(lr)] * fuse, key, 0)
-            post_chunk(aux0, hbatches)
-            float(ls[-1])
-            holder = {"state": state}
+        def launch(st, rng_i):
+            """One fused launch -> (state, losses, aux-or-None)."""
+            out = fused(st, [batch] * fuse, [float(lr)] * fuse, rng_i, 0)
+            return out if post_chunk is not None else (*out, None)
 
-            def timed_round():
-                tic = time.perf_counter()
-                st = holder["state"]
-                pending = None
-                for i in range(LAUNCHES):
-                    st, ls, aux = fused(st, [batch] * fuse,
-                                        [float(lr)] * fuse,
-                                        jax.random.fold_in(key, i), 0)
+        state, ls, aux = launch(state, key)
+        if post_chunk is not None:
+            post_chunk(aux, hbatches)
+        float(ls[-1])
+        holder = {"state": state}
+
+        # ONE timing body for both arms; with a post_chunk runtime each
+        # launch also pays the production chunk flush, deferred by one
+        # launch exactly like core/trainer.py _run_epoch_fused (the
+        # host fetch overlaps the next launch's device compute)
+        def timed_round():
+            tic = time.perf_counter()
+            st = holder["state"]
+            pending = None
+            for i in range(LAUNCHES):
+                st, ls, aux = launch(st, jax.random.fold_in(key, i))
+                if post_chunk is not None:
                     if pending is not None:
                         post_chunk(pending, hbatches)
                     pending = aux
+            if pending is not None:
                 post_chunk(pending, hbatches)
-                holder["state"] = st
-                float(ls[-1])
-                dt = time.perf_counter() - tic
-                return LAUNCHES * fuse * bs / dt, dt / LAUNCHES
-        else:
-            state, ls = fused(state, [batch] * fuse, [float(lr)] * fuse,
-                              key, 0)
+            holder["state"] = st
             float(ls[-1])
-            holder = {"state": state}
-
-            def timed_round():
-                tic = time.perf_counter()
-                st = holder["state"]
-                for i in range(LAUNCHES):
-                    st, ls = fused(st, [batch] * fuse,
-                                   [float(lr)] * fuse,
-                                   jax.random.fold_in(key, i), 0)
-                holder["state"] = st
-                float(ls[-1])
-                dt = time.perf_counter() - tic
-                return LAUNCHES * fuse * bs / dt, dt / LAUNCHES
+            dt = time.perf_counter() - tic
+            return LAUNCHES * fuse * bs / dt, dt / LAUNCHES
     else:
         state, loss, _ = step(state, batch, lr, key)
         float(loss)     # value fetch (block_until_ready can return early

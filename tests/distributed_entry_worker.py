@@ -35,10 +35,16 @@ Modes:
 GLOBAL batch size then)
 """
 
+import faulthandler
 import json
 import re
 import sys
 from pathlib import Path
+
+# worlds that wedge (collective deadlocks, Gloo stalls) starve silently
+# otherwise: dump every rank's stacks to stderr every 10 min so a
+# killed-at-deadline rank's log tail shows WHERE it sat
+faulthandler.dump_traceback_later(600, repeat=True, exit=False)
 
 sys.path.insert(0, str(Path(__file__).parents[1]))
 

@@ -465,9 +465,13 @@ def test_four_process_fused_launches_with_midchunk_preemption(tmp_path):
             break
         infra = any(any(sig in log for sig in _GLOO_INFRA_SIGS)
                     for log in logs)
-        if attempt == 0 and infra:
-            print("fused_preempt: Gloo 30s context-rendezvous timeout "
-                  "under cold-compile skew — retrying the world once")
+        if attempt == 0 and (infra or starved):
+            print("fused_preempt: attempt 1 "
+                  + ("hit the Gloo 30s context timeout" if infra
+                     else "starved (rank tails below)")
+                  + " — retrying the world once")
+            for log in logs:
+                print("--- rank tail ---\n" + log[-1500:])
             continue
         if starved:
             raise AssertionError(

@@ -97,6 +97,9 @@ ROWS = {
     # floor); this row is the recommended data-parallel operating point
     "panet8": ("panet", 401, 8, {}),
     "canet": ("canet", 321, 4, {}),
+    # CaNet at larger batch: its 707-GFLOP bs=4 step is the smallest
+    # program in the zoo; bs=8 amortizes per-step overheads further
+    "canet8": ("canet", 321, 8, {}),
     "rpmms": ("rpmms", 481, 4, {}),
     # rpmms at larger batch: the 481² preset's device profile is FLAT
     # (no single op >1.3% of the step) with ~20% layout copies; the
@@ -107,7 +110,7 @@ ROWS = {
 
 # rows that deviate from the reference protocol toward the TPU-optimal
 # operating point (everything else mirrors a published preset)
-TUNED_ROWS = {"panet8", "rpmms8"}
+TUNED_ROWS = {"panet8", "rpmms8", "canet8"}
 
 
 def assemble_runtime(name, hw, bs, extra, model_dir, on_tpu):

@@ -225,6 +225,23 @@ def make_train_step_fused(loss_fn: Callable, tx, fuse_steps: int,
 
     jit_fused = jax.jit(_fused, donate_argnums=(0,))
     shard = batch_sharding(mesh) if mesh is not None else None
+    warmed = [jax.process_count() == 1]
+
+    def _warm_multihost(state, dev, lrs, rng, first_idx):
+        """Compile on every rank FIRST, then barrier on the
+        already-warmed context, so the fused program's first collective
+        executes with the ranks aligned. Without this, the program's
+        Gloo communicator context is created mid-run on the first
+        execution; cross-rank COMPILE skew (4 ranks cold-compiling a
+        k-step scan concurrently can differ by minutes on a loaded
+        host) then exceeds the backend's hard 30s context-rendezvous
+        window — the slow rank dies with DEADLINE_EXCEEDED and the
+        rest hang forever inside the collective (observed live,
+        stack-dumped: every rank wedged in the epoch-boundary
+        allgather queued behind the poisoned fused program)."""
+        from pemp_tpu.parallel.mesh import any_process_flag
+        jit_fused.lower(state, dev, lrs, rng, first_idx).compile()
+        any_process_flag(False)     # rides the init-time warmed context
 
     def fused(state, host_batches, lrs, rng, first_idx):
         if len(host_batches) != fuse_steps:
@@ -235,8 +252,12 @@ def make_train_step_fused(loss_fn: Callable, tx, fuse_steps: int,
         dev = tuple(device_batch(b, shard, compact_wire,
                                  divergent_hosts=divergent_hosts)
                     for b in host_batches)
-        return jit_fused(state, dev, jnp.asarray(lrs, jnp.float32), rng,
-                         jnp.int32(first_idx))
+        args = (state, dev, jnp.asarray(lrs, jnp.float32), rng,
+                jnp.int32(first_idx))
+        if not warmed[0]:
+            warmed[0] = True
+            _warm_multihost(*args)
+        return jit_fused(*args)
 
     fused.jit_step = jit_fused
     fused.sharding = shard

@@ -492,7 +492,11 @@ class Trainer:
         # the CaNet chip row). Legal because write-backs only need to be
         # in the store before next_epoch(); write ORDER is preserved
         # (chunks flush in sequence, and the serial tail flushes any
-        # pending chunk before its own per-step writes).
+        # pending chunk before its own per-step writes). Timer caveat:
+        # chunk i's flush runs inside chunk i+1's timed window and the
+        # epoch-final flush (below) runs outside any window, so per-
+        # epoch it/s attributes each flush one chunk late and omits the
+        # last — a known, cosmetic skew of ~one flush per epoch.
         pending = None
         while True:
             chunk = []

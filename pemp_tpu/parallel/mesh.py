@@ -256,18 +256,46 @@ def put_global(v, sharding: NamedSharding, *,
                                         lambda idx: v[idx])
 
 
+_GATHER_PROGRAMS = {}
+
+
+def _gather_identity(x):
+    return x
+
+
 def fetch_global(x) -> np.ndarray:
     """Device->host fetch of a possibly globally-sharded array.
 
     Under multi-host a jitted eval step returns jax.Arrays whose shards
     live on other processes' devices; ``jax.device_get`` refuses those.
-    ``process_allgather`` reassembles the global value on every host (the
-    eval outputs are tiny: per-episode counts/losses/logits). Fully
-    addressable arrays (single-host, or replicated scalars) take the
-    cheap direct path."""
+    The replicating identity program below reassembles the global value
+    on every host (what ``multihost_utils.process_allgather`` compiles
+    for global arrays; the eval outputs are tiny: per-episode counts /
+    losses / logits). Fully addressable arrays (single-host, or
+    replicated scalars) take the cheap direct path.
+
+    Each distinct (shape, dtype, sharding) is a NEW collective program,
+    and a new program creates its Gloo communicator context on its
+    FIRST execution with a hard 30s rendezvous window (Parallelism
+    semantic 8, docs/DESIGN.md) — first executed mid-run (e.g. CaNet's
+    [k]-stacked fused-chunk aux gather, the fast-eval logits gather),
+    cross-rank compile skew can exceed that window. So the first use of
+    every gather shape follows the same compile-then-barrier discipline
+    as the fused train program: lower+compile locally, barrier on the
+    init-warmed context, only then execute. Safe because fetch_global
+    of a non-addressable array is itself a collective — every rank
+    already reaches this call in lockstep."""
     if isinstance(x, jax.Array) and not x.is_fully_addressable:
-        from jax.experimental import multihost_utils
-        return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+        key = (x.shape, x.dtype, x.sharding)
+        prog = _GATHER_PROGRAMS.get(key)
+        if prog is None:
+            prog = jax.jit(
+                _gather_identity,
+                out_shardings=NamedSharding(x.sharding.mesh, P()),
+            ).lower(x).compile()
+            any_process_flag(False)     # semantic-8 barrier
+            _GATHER_PROGRAMS[key] = prog
+        return np.asarray(prog(x).addressable_data(0))
     return np.asarray(jax.device_get(x))
 
 

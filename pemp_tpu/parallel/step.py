@@ -240,6 +240,18 @@ def make_train_step_fused(loss_fn: Callable, tx, fuse_steps: int,
         stack-dumped: every rank wedged in the epoch-boundary
         allgather queued behind the poisoned fused program)."""
         from pemp_tpu.parallel.mesh import any_process_flag
+        # CACHE-SHARING ASSUMPTION (load-bearing): this relies on
+        # ``jit.lower(args).compile()`` populating the same executable
+        # cache the subsequent ``jit_fused(*args)`` dispatch hits — true
+        # for current jaxlib (the AOT path and the dispatch path share
+        # the pjit C++ cache; validated live by the 4-proc fused test,
+        # which wedges within 30s if a rank recompiles mid-run). If a
+        # jax upgrade ever separates the AOT and dispatch caches, every
+        # rank would silently recompile INSIDE the first real call —
+        # after the barrier — reopening the Gloo rendezvous window this
+        # function exists to close. ``fused()`` times the first real
+        # call and logs loudly when it smells like a compile, so the
+        # regression is visible before it wedges a production world.
         jit_fused.lower(state, dev, lrs, rng, first_idx).compile()
         any_process_flag(False)     # rides the init-time warmed context
 
@@ -256,7 +268,19 @@ def make_train_step_fused(loss_fn: Callable, tx, fuse_steps: int,
                 jnp.int32(first_idx))
         if not warmed[0]:
             warmed[0] = True
+            import time
             _warm_multihost(*args)
+            t0 = time.monotonic()
+            out = jit_fused(*args)
+            took = time.monotonic() - t0
+            if took > 30.0:     # compile-scale, not execute-scale
+                import logging
+                logging.getLogger("pemp_tpu").warning(
+                    "fused step: first post-warm dispatch took %.1fs — "
+                    "the AOT compile may no longer share the dispatch "
+                    "cache (see _warm_multihost); multi-host worlds "
+                    "risk the mid-run Gloo rendezvous wedge", took)
+            return out
         return jit_fused(*args)
 
     fused.jit_step = jit_fused

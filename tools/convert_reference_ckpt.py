@@ -2,10 +2,18 @@
 """Convert a REFERENCE-trained full-model checkpoint (.pth) into our
 msgpack format, enabling mIoU parity evaluation without retraining.
 
-Supports the flagship models:
-- baseline  (reference networks/baseline.py state_dict layout)
-- pemp_stage1 (reference networks/pemp_stage1.py: encoder.backbone +
+Supports ALL SEVEN model families (each maps the corresponding
+reference networks/*.py state_dict layout):
+- baseline     (networks/baseline.py)
+- pemp_stage1  (networks/pemp_stage1.py: encoder.backbone +
   encoder.purifier [conv/DropBlock/ASPPV2] + ctr)
+- pemp_stage2  (networks/pemp_stage2.py: CM encoders + prior channels)
+- panet        (networks/panet.py, baseline-like layout)
+- canet        (networks/canet.py)
+- rpmms        (networks/rpmms.py)
+- pfenet       (networks/pfenet.py + pfe_resent.py deep-base trunk)
+Round-trip (inverse: tools/export_reference_ckpt.py) is bit-exact for
+every family (tests/test_export_roundtrip.py).
 
 Usage:
   python tools/convert_reference_ckpt.py --model pemp_stage1 \

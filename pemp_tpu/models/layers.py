@@ -51,6 +51,48 @@ def torch_bias_init(fan_in: int):
     return init
 
 
+# Experiment hook (tools/exp_train_levers.py): when set, every Conv
+# routes its compute through CONV_IMPL(x, kernel, strides, padding,
+# dilation) instead of flax nn.Conv — used to A/B alternate conv
+# lowerings (space-to-batch dilated schedule, weight-grad accumulation
+# dtype) against the production path with an IDENTICAL param tree.
+# Production leaves this None; the entries never touch it.
+CONV_IMPL = None
+
+
+class _HookedConv(nn.Module):
+    """nn.Conv-compatible conv (same param tree: f32 ``kernel`` [kh, kw,
+    cin, cout] + ``bias`` [cout], same promote-to-``dtype`` compute, bias
+    added after the conv) whose windowed compute is delegated to the
+    module-level ``CONV_IMPL`` experiment hook."""
+    features: int
+    kernel: Tuple[int, int]
+    stride: int
+    padding: int
+    dilation: int
+    use_bias: bool
+    dtype: Dtype
+    kernel_init: Callable
+    bias_init: Callable
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel
+        kernel = self.param("kernel", self.kernel_init,
+                            (kh, kw, x.shape[-1], self.features),
+                            jnp.float32)
+        x = x.astype(self.dtype)
+        p = self.padding
+        y = CONV_IMPL(x, kernel.astype(self.dtype),
+                      (self.stride, self.stride), ((p, p), (p, p)),
+                      (self.dilation, self.dilation))
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init,
+                              (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 class Conv(nn.Module):
     """Conv2d with torch padding/dilation conventions, NHWC."""
     features: int
@@ -66,6 +108,12 @@ class Conv(nn.Module):
     def __call__(self, x):
         p = self.padding
         fan_in = self.kernel[0] * self.kernel[1] * x.shape[-1]
+        if CONV_IMPL is not None:
+            return _HookedConv(
+                self.features, self.kernel, self.stride, self.padding,
+                self.dilation, self.use_bias, self.dtype,
+                self.kernel_init, torch_bias_init(fan_in),
+                name="Conv_0")(x)   # nn.Conv's auto-name: same tree
         return nn.Conv(
             self.features, self.kernel,
             strides=(self.stride, self.stride),

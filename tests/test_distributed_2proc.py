@@ -300,6 +300,39 @@ def test_two_process_canet_pipeline(tmp_path):
     np.testing.assert_allclose(r0["miou"], ref["miou"], atol=2.0)
 
 
+def test_two_process_canet_fused_launches(tmp_path):
+    """CaNet WITH fused launches in a live 2-process world (ADVICE r4):
+    the fused chunk stacks per-step aux, and ``post_chunk``'s
+    ``fetch_global`` of the [k]-stacked feature logits is a NEW
+    collective program first executed mid-run — it must ride the
+    semantic-8 compile-then-barrier (parallel/mesh.py fetch_global)
+    instead of reopening the 30s Gloo rendezvous window. Composes every
+    adversarial piece at once: divergent-host replicated puts (unsharded
+    train loader), the fused program's own warm barrier, the aux gather,
+    and the fast-eval logits gather.
+
+    Asserts both ranks finish and agree exactly, and the trajectory
+    matches a single-process CaNet fused run at the same (unsharded)
+    batch size."""
+    r0, r1 = _spawn_entry_world(tmp_path, "canet_fused", 2,
+                                "canet", "fused")
+    assert r0["world"] == r1["world"] == 2
+    for k in ("loss", "miou", "biou"):
+        assert r0[k] == r1[k], f"{k}: {r0[k]} != {r1[k]}"
+
+    worker = Path(__file__).parent / "distributed_entry_worker.py"
+    single_out = tmp_path / "canet_fused_single.json"
+    single = subprocess.run(
+        [sys.executable, str(worker), str(single_out),
+         str(tmp_path / "canet_fused_single"), "2", "canet", "fused"],
+        env=_env({}), capture_output=True, text=True, timeout=TIMEOUT_S)
+    assert single.returncode == 0, single.stdout + single.stderr
+    ref = json.load(open(single_out))
+    stream = r0["train_loss"] or r1["train_loss"]
+    np.testing.assert_allclose(stream, ref["train_loss"], rtol=2e-3)
+    np.testing.assert_allclose(r0["miou"], ref["miou"], atol=2.0)
+
+
 def test_two_process_resume(tmp_path):
     """Mid-run resume in a live 2-process world: rank 0 owns the only
     run dir, so ``Trainer.maybe_resume`` must broadcast its checkpoint

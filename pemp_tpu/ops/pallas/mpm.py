@@ -117,11 +117,29 @@ def _pack_protos(fg_proto, bg_proto, protos: int, p_pad: int, q: int):
 # ---------------------------------------------------------------------------
 
 def _assign_kernel(fts_ref, mask_ref, ctr_ref, padmask_ref,
-                   num_ref, den_ref, *, protos_pad: int):
+                   num_ref, den_ref, *, protos_pad: int,
+                   n_rows: int = 0):
     j = pl.program_id(1)
     f = fts_ref[0].astype(jnp.float32)                   # [tn, c]
     tn = f.shape[0]
     k2 = 2 * protos_pad
+    if n_rows:
+        # UNPADDED input (packed chain): the grid is cdiv(n, tn), so the
+        # last block reads past n — whatever bytes sit in the padded
+        # VMEM buffer. Zero those rows on BOTH operands (select, not
+        # multiply: 0*NaN would poison the row-contraction below), so
+        # out-of-bounds rows contribute exactly nothing — bit-identical
+        # to the old zero-padded staging buffer without its HBM pass.
+        row = jax.lax.broadcasted_iota(jnp.int32, (tn, 1), 0) + j * tn
+        valid = row < n_rows
+        f = jnp.where(valid, f, 0.0)
+        # packed chain stores the mask [.., 2, n] — n on the LANE dim.
+        # A [.., n, 2] f32 HBM tensor tiles its trailing 2 up to 128
+        # lanes (64x physical blowup: the r4 trace billed ~2.4 ms of
+        # pure mask staging to it); the [2, n] orientation is compact
+        # and the (2, tn) block transposes in-VMEM for pennies.
+        m = jnp.transpose(mask_ref[0].astype(jnp.float32))   # [tn, 2]
+        m = jnp.where(valid, m, 0.0)
 
     ctr = ctr_ref[:].astype(jnp.float32)                 # [c, 2p_pad]
     c_sq = jnp.sum(ctr * ctr, axis=0, keepdims=True)     # [1, 2p_pad]
@@ -142,7 +160,8 @@ def _assign_kernel(fts_ref, mask_ref, ctr_ref, padmask_ref,
         e = jnp.exp(d - mx) * ind
         return e / jnp.maximum(jnp.sum(e, axis=1, keepdims=True), 1e-30)
 
-    m = mask_ref[0].astype(jnp.float32)                  # [tn, 2] fg/bg
+    if not n_rows:
+        m = mask_ref[0].astype(jnp.float32)              # [tn, 2] fg/bg
     a2 = (class_softmax(is_fg) * m[:, 0:1]
           + class_softmax(1.0 - is_fg) * m[:, 1:2])      # [tn, 2p_pad]
 
@@ -344,20 +363,27 @@ def mpm_chain_packed_pallas(fts, sup_fg, sup_bg, ctr, protos: int,
     q = sq - s
     p_pad = max(_round_up(protos, 4), 4)
     tn = min(ROW_TILE, _round_up(n, 8))
-    n_pad = _round_up(n, tn)
-    n_tiles = n_pad // tn
+    n_tiles = -(-n // tn)       # cdiv: boundary block masked in-kernel
 
+    # NO padded staging buffer (r5): the r4 trace showed the zero-pad of
+    # the largest activation (%pad 4.6 ms/launch at B=256) plus the
+    # [.., n_pad, 2] f32 mask staging (its trailing dim of 2 is padded
+    # to 128 lanes on HBM — a 64x physical blowup, ~3.3 ms of
+    # dynamic-update-slice/pad) were the last non-backbone consumers of
+    # the eval step. The kernels now read the UNPADDED [B*(S+Q), n, c]
+    # reshape view directly — out-of-bounds rows of the cdiv boundary
+    # block are zeroed in-kernel (see _assign_kernel n_rows), which is
+    # bit-identical to what the zero-padded buffer provided.
     fdt = _wire_dtype(fts)
-    stage = jnp.zeros((b * sq, n_pad, c), fdt)
-    stage = stage.at[:, :n].set(fts.reshape(b * sq, n, c).astype(fdt))
-
-    mask = jnp.zeros((b * s, n_pad, 2), jnp.float32)
-    mask = mask.at[:, :n, 0].set(sup_fg.reshape(b * s, n))
-    mask = mask.at[:, :n, 1].set(sup_bg.reshape(b * s, n))
+    stage = fts.reshape(b * sq, n, c).astype(fdt)
+    # [b*s, 2, n]: n on the lane dim (see _assign_kernel's transpose)
+    mask = jnp.stack([sup_fg.reshape(b * s, n),
+                      sup_bg.reshape(b * s, n)], axis=1)
+    mask = mask.astype(jnp.float32)
 
     ctr_pad, padmask = _pad_ctr(ctr, protos, p_pad)
 
-    kernel = functools.partial(_assign_kernel, protos_pad=p_pad)
+    kernel = functools.partial(_assign_kernel, protos_pad=p_pad, n_rows=n)
     num, den = pl.pallas_call(
         kernel,
         grid=(b * s, n_tiles),
@@ -365,7 +391,7 @@ def mpm_chain_packed_pallas(fts, sup_fg, sup_bg, ctr, protos: int,
             pl.BlockSpec((1, tn, c),
                          lambda i, j: ((i // s) * sq + i % s, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn, 2), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, 2, tn), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c, 2 * p_pad), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -414,14 +440,19 @@ def mpm_chain_packed_pallas(fts, sup_fg, sup_bg, ctr, protos: int,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b * q, n_pad, 2), jnp.float32),
-            jax.ShapeDtypeStruct((b * q, n_pad, 2), jnp.int32),
+            # unpadded: the boundary block's writes past n are masked by
+            # pallas, so the old [:, :n] slice (a full pass over the
+            # 64x-lane-padded [.., n_pad, 2] layout) disappears. The
+            # match kernel needs no row masking — garbage rows only
+            # produce garbage values that those masked writes drop.
+            jax.ShapeDtypeStruct((b * q, n, 2), jnp.float32),
+            jax.ShapeDtypeStruct((b * q, n, 2), jnp.int32),
         ],
         interpret=interpret,
     )(stage, pk, padmask)
 
-    logits = logits[:, :n, :].reshape(b, q, n, 2)
+    logits = logits.reshape(b, q, n, 2)
     if return_residuals:
-        inds = inds[:, :n, :].reshape(b, q, n, 2)
+        inds = inds.reshape(b, q, n, 2)
         return logits, inds, fg_proto, bg_proto
     return logits

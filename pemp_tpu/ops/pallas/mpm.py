@@ -192,7 +192,10 @@ def meta_prototype_assign_pallas(sup_fts, sup_fg, sup_bg, ctr, protos: int,
     """
     b, s, n, c = sup_fts.shape
     p_pad = max(_round_up(protos, 4), 4)
-    tn = min(ROW_TILE, _round_up(n, 8))
+    # same tile rule as the packed chain (whole-row tile when it fits,
+    # else ROW_TILE) so the two stay BIT-identical: equal block shapes
+    # mean equal contraction trees (tests/test_pallas_kernels.py)
+    tn = n if n <= ROW_TILE else ROW_TILE
     n_pad = _round_up(n, tn)
     n_tiles = n_pad // tn
     bs = b * s
@@ -362,7 +365,12 @@ def mpm_chain_packed_pallas(fts, sup_fg, sup_bg, ctr, protos: int,
     s = sup_fg.shape[1]
     q = sq - s
     p_pad = max(_round_up(protos, 4), 4)
-    tn = min(ROW_TILE, _round_up(n, 8))
+    # Mosaic block-shape rule: the last two block dims must be divisible
+    # by (8, 128) or EQUAL to the array dims. A single whole-row tile
+    # (tn == n) is always legal; multi-tile rows use ROW_TILE, which is
+    # divisible by both (the mask rides n on its lane dim, so a rounded
+    # 8-multiple like the padded path used would be rejected there).
+    tn = n if n <= ROW_TILE else ROW_TILE
     n_tiles = -(-n // tn)       # cdiv: boundary block masked in-kernel
 
     # NO padded staging buffer (r5): the r4 trace showed the zero-pad of

@@ -36,4 +36,4 @@ if [[ "$COMMAND" == "help" ]]; then
   ARGS=""
 fi
 
-PYTHONPATH="$PROJECT_DIR${PYTHONPATH:+:$PYTHONPATH}" python "$PROJECT_DIR/entry/canet.py" $COMMAND $ARGS
+exec env PYTHONPATH="$PROJECT_DIR${PYTHONPATH:+:$PYTHONPATH}" python "$PROJECT_DIR/entry/canet.py" $COMMAND $ARGS

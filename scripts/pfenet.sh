@@ -36,4 +36,4 @@ if [[ "$COMMAND" == "help" ]]; then
   ARGS=""
 fi
 
-PYTHONPATH="$PROJECT_DIR${PYTHONPATH:+:$PYTHONPATH}" python "$PROJECT_DIR/entry/pfenet.py" $COMMAND $ARGS
+exec env PYTHONPATH="$PROJECT_DIR${PYTHONPATH:+:$PYTHONPATH}" python "$PROJECT_DIR/entry/pfenet.py" $COMMAND $ARGS
